@@ -1,0 +1,82 @@
+"""Metadata layer: snapshots, manifests, commit atomicity/conflicts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_compaction_spark.errors import CommitConflict
+from iceberg_compaction_spark.sources.generator import (
+    TRANSCRIPT_DDL,
+    create_transcripts_table,
+    transcripts_df,
+)
+from iceberg_compaction_spark.sources.manifest import FileInfo
+from iceberg_compaction_spark.sources.table import Table
+
+
+def test_create_load_roundtrip(tmp_warehouse):
+    loc = os.path.join(tmp_warehouse, "t1")
+    t = Table.create(loc, TRANSCRIPT_DDL)
+    t2 = Table.load(loc)
+    assert t2.user_columns() == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t2.current_snapshot_id is None
+    assert t2.manifest() == []
+
+
+def test_append_creates_snapshot_with_stats(spark, tmp_warehouse):
+    loc = os.path.join(tmp_warehouse, "t2")
+    t = Table.create(loc, TRANSCRIPT_DDL, partition={"field": "_part", "expr": "date_format(ts, 'yyyy-MM-dd')"})
+    df = transcripts_df(spark, 1000, 10)
+    sid = t.append_dataframe(df.repartition(4))
+    assert sid == 1 and t.current_snapshot_id == 1 and t.sequence_number == 1
+    files = t.files(content="data")
+    assert len(files) == 4
+    assert sum(f["record_count"] for f in files) == 1000
+    assert all(f["sequence_number"] == 1 for f in files)
+    assert all(f["size_bytes"] > 0 for f in files)
+    # partition values materialized + recorded (single day at step=1s)
+    assert all(f["partition"] == "2023-11-14" for f in files)
+    snap = t.snapshot(sid)
+    assert snap["operation"] == "append" and snap["summary"]["added_files"] == 4
+
+
+def test_scan_matches_input(spark, tmp_warehouse):
+    loc = os.path.join(tmp_warehouse, "t3")
+    t = create_transcripts_table(spark, loc, n_turns=2000, n_convs=20, n_files=8)
+    df = t.scan(spark)
+    assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert df.count() == 2000
+    expect = transcripts_df(spark, 2000, 20)
+    assert df.exceptAll(expect).count() == 0
+    assert expect.exceptAll(df).count() == 0
+
+
+def test_snapshot_time_travel(spark, tmp_warehouse):
+    loc = os.path.join(tmp_warehouse, "t4")
+    t = Table.create(loc, TRANSCRIPT_DDL)
+    t.append_dataframe(transcripts_df(spark, 100, 5))
+    t.append_dataframe(transcripts_df(spark, 50, 5))
+    assert t.scan(spark, snapshot_id=1).count() == 100
+    assert t.scan(spark, snapshot_id=2).count() == 150
+
+
+def test_commit_conflict_on_vanished_inputs(spark, tmp_warehouse):
+    loc = os.path.join(tmp_warehouse, "t5")
+    t = Table.create(loc, TRANSCRIPT_DDL)
+    t.append_dataframe(transcripts_df(spark, 100, 5))
+    path = t.files(content="data")[0]["path"]
+    # first rewrite removes it…
+    t.commit("replace", added=[], removed_paths=[path])
+    # …second committer still referencing it must conflict (C6)
+    with pytest.raises(CommitConflict):
+        t.commit("replace", added=[], removed_paths=[path], retries=0)
+
+
+def test_commit_expected_parent_cas(spark, tmp_warehouse):
+    loc = os.path.join(tmp_warehouse, "t6")
+    t = Table.create(loc, TRANSCRIPT_DDL)
+    t.append_dataframe(transcripts_df(spark, 100, 5))
+    with pytest.raises(CommitConflict):
+        t.commit("append", added=[FileInfo(path="/nope")], expected_snapshot_id=99, retries=0)
