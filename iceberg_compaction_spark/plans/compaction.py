@@ -1,0 +1,431 @@
+"""The compaction service: plan → rewrite → checkpoint → atomic commit.
+
+End-to-end restatement of the reference's lifecycle (SURVEY.md §3):
+
+  plan files (FileSelector, file_selection.rs:22-54)
+  → FFD bins (ListPacker, packer.rs:36-76)
+  → parallelism (file_selection.rs:156-177)
+  → per-bin rewrite (WorkerExecutor → DataFusion anti-join SQL →
+    RollingWriter, mod.rs:89-237)
+  → atomic commit + conflict validation (CommitCoordinator,
+    commit.rs:78-179)
+
+Spark-first shape per bin (SURVEY.md §3.1 restatement)::
+
+    read.parquet(bin files) [+ hidden cols]
+      → anti-join position deletes → anti-join equality deletes
+      → repartitionByRange(output_parallelism, sort keys)
+      → sortWithinPartitions(sort keys)
+      → write.option(maxRecordsPerFile, target rows).parquet(bin dir)
+
+The gRPC task distribution of the reference (§3.2 boundaries #1–#2) is
+replaced by Spark's own scheduler: bins run as jobs against one
+SparkSession (optionally in parallel via driver threads — Spark
+multiplexes concurrent jobs fine). Boundary #3 (commit) remains a
+single-writer driver-side atomic snapshot.
+
+Resumability (C7 + north rule): every finished bin writes one lineage
+row (input files → output files, rows, bytes, timings) as its own
+Parquet file under ``meta/checkpoints/run-<id>/`` — crash-safe at bin
+granularity, and bins never span table partitions, so resume is
+per-partition. Re-running with the same ``run_id`` skips finished bins
+and commits the union.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.config import CommitMode, CompactionConfig, GroupingStrategy
+from iceberg_compaction_spark.errors import ValidationError
+from iceberg_compaction_spark.functions.clustering import CLUSTER_COL, add_cluster_key
+from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL
+from iceberg_compaction_spark.plans.packer import plan_bins_df
+from iceberg_compaction_spark.plans.parallelism import calculate_parallelism
+from iceberg_compaction_spark.plans.selection import select_files
+from iceberg_compaction_spark.sources import manifest as mf
+from iceberg_compaction_spark.sources import scan as scan_mod
+from iceberg_compaction_spark.sources.table import Table
+from iceberg_compaction_spark.operators.mor import apply_deletes
+
+_CKPT_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.string()),
+        ("snapshot_id", pa.int64()),
+        ("bin", pa.string()),
+        ("partition", pa.string()),
+        ("status", pa.string()),
+        ("input_paths", pa.list_(pa.string())),
+        ("output_paths", pa.list_(pa.string())),
+        ("input_bytes", pa.int64()),
+        ("output_bytes", pa.int64()),
+        ("input_files", pa.int64()),
+        ("output_files", pa.int64()),
+        ("rows_processed", pa.int64()),
+        ("execution_time_ms", pa.int64()),
+        ("started_ms", pa.int64()),
+        ("finished_ms", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class BinPlan:
+    bin: str
+    partition: str
+    paths: list
+    total_bytes: int
+    record_count: int
+    executor_parallelism: int = 1
+    output_parallelism: int = 1
+
+
+@dataclass
+class CompactionResult:
+    run_id: str
+    snapshot_before: int | None
+    snapshot_after: int | None
+    bins_total: int = 0
+    bins_executed: int = 0
+    bins_skipped: int = 0
+    input_files: int = 0
+    output_files: int = 0
+    input_bytes: int = 0
+    output_bytes: int = 0
+    rows_processed: int = 0
+    removed_delete_files: int = 0
+    wall_s: float = 0.0
+    lineage: list = field(default_factory=list)
+
+    def summary(self) -> dict:
+        return {
+            k: getattr(self, k)
+            for k in (
+                "run_id",
+                "snapshot_before",
+                "snapshot_after",
+                "bins_total",
+                "bins_executed",
+                "bins_skipped",
+                "input_files",
+                "output_files",
+                "input_bytes",
+                "output_bytes",
+                "rows_processed",
+                "removed_delete_files",
+                "wall_s",
+            )
+        }
+
+
+class CompactionRunner:
+    def __init__(self, spark: SparkSession, table: Table, config: CompactionConfig | None = None):
+        self.spark = spark
+        self.table = table
+        self.config = config or CompactionConfig()
+
+    # ------------------------------------------------------------------
+    def plan(self, snapshot_id: int | None = None) -> list[BinPlan]:
+        """Planning as a DataFrame job over the manifest metadata table
+        (S1 + P2/P3 + C1 + C3). Collects only the *plan* (one row per
+        selected file), never data."""
+        cfg = self.config
+        files_df = self.table.files_df(self.spark, snapshot_id)
+        selected = select_files(self.spark, files_df, cfg)
+        if cfg.grouping == GroupingStrategy.SINGLE:
+            assigned = selected.select(
+                "path",
+                "partition",
+                "size_bytes",
+                "record_count",
+                "sequence_number",
+                F.concat(F.col("partition"), F.lit("#0")).alias("bin"),
+                F.lit(0).alias("bin_index"),
+            )
+        else:
+            assigned = plan_bins_df(selected, cfg.group_target_size_bytes)
+        rows = assigned.collect()
+        bins: dict[str, BinPlan] = {}
+        for r in rows:
+            b = bins.setdefault(
+                r["bin"], BinPlan(bin=r["bin"], partition=r["partition"], paths=[], total_bytes=0, record_count=0)
+            )
+            b.paths.append(r["path"])
+            b.total_bytes += r["size_bytes"]
+            b.record_count += r["record_count"]
+        for b in bins.values():
+            b.paths.sort()
+            b.executor_parallelism, b.output_parallelism = calculate_parallelism(
+                b.total_bytes, len(b.paths), cfg
+            )
+        # skip single-file bins with no deletes to resolve: rewriting
+        # one file into one file is pure churn (reference leaves these
+        # out via strategy thresholds)
+        man = self.table.manifest(snapshot_id)
+        has_deletes = any(r["content"] != mf.CONTENT_DATA for r in man)
+        out = [
+            b
+            for b in sorted(bins.values(), key=lambda x: x.bin)
+            if len(b.paths) > 1 or has_deletes
+        ]
+        return out
+
+    # ------------------------------------------------------------------
+    # checkpoints
+    def _ckpt_dir(self, run_id: str) -> str:
+        return os.path.join(self.table.location, "meta", "checkpoints", f"run-{run_id}")
+
+    def _load_checkpoint(self, run_id: str) -> dict[str, dict]:
+        d = self._ckpt_dir(run_id)
+        done: dict[str, dict] = {}
+        if not os.path.isdir(d):
+            return done
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                for row in pq.read_table(os.path.join(d, fn)).to_pylist():
+                    if row["status"] == "done":
+                        done[row["bin"]] = row
+        return done
+
+    def _write_checkpoint_row(self, run_id: str, row: dict) -> None:
+        d = self._ckpt_dir(run_id)
+        os.makedirs(d, exist_ok=True)
+        safe = row["bin"].replace("/", "_").replace("#", "_")
+        tmp = os.path.join(d, f".tmp-{safe}.parquet")
+        pq.write_table(pa.Table.from_pylist([row], schema=_CKPT_SCHEMA), tmp)
+        os.replace(tmp, os.path.join(d, f"bin-{safe}.parquet"))
+
+    # ------------------------------------------------------------------
+    def _delete_frames(self, snapshot_id: int, bin_paths: list[str]):
+        """Delete DataFrames relevant to one bin + broadcast hints."""
+        man = self.table.manifest(snapshot_id)
+        pos_rows = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
+        eq_rows = [r for r in man if r["content"] == mf.CONTENT_EQ_DEL]
+        pos_df = None
+        broadcast_pos = False
+        if pos_rows:
+            pos_df = scan_mod.read_position_deletes(
+                self.spark, [r["path"] for r in pos_rows]
+            ).filter(F.col(FILE_COL).isin(bin_paths))
+            broadcast_pos = (
+                sum(r["size_bytes"] for r in pos_rows) < self.config.inline_delete_threshold_bytes
+            )
+        eq_groups = []
+        if eq_rows:
+            by_keys: dict[tuple, list] = {}
+            for r in eq_rows:
+                by_keys.setdefault(tuple(r["equality_ids"]), []).append(r)
+            for keys, grp in sorted(by_keys.items()):
+                eq_df = scan_mod.read_equality_deletes(
+                    self.spark, [(r["path"], r["sequence_number"]) for r in grp], list(keys)
+                )
+                small = (
+                    sum(r["size_bytes"] for r in grp) < self.config.inline_delete_threshold_bytes
+                )
+                eq_groups.append((keys, eq_df, small))
+        return pos_df, broadcast_pos, eq_groups
+
+    def _rewrite_bin(self, run_id: str, snapshot_id: int, b: BinPlan, seq_by_path: dict) -> dict:
+        cfg = self.config
+        t0 = time.time()
+        need_eq = bool(seq_by_path)
+        pos_df, bpos, eq_groups = self._delete_frames(snapshot_id, b.paths)
+        df = scan_mod.read_data_files(
+            self.spark,
+            b.paths,
+            schema=self.table.physical_schema(),
+            with_file=pos_df is not None,
+            with_pos=pos_df is not None,
+            seq_by_path=seq_by_path if eq_groups else None,
+        )
+        df = apply_deletes(df, pos_df, None, broadcast_pos=bpos)
+        for keys, eq_df, small in eq_groups:
+            df = apply_deletes(df, None, eq_df, eq_keys=keys, broadcast_eq=small)
+
+        phys_cols = [f.name for f in self.table.physical_schema().fields]
+        df = df.select(*phys_cols)
+
+        sort_cols = [
+            F.col(c).desc() if desc else F.col(c).asc() for c, desc in cfg.sort_order
+        ]
+        plain_sort = [c for c, _ in cfg.sort_order]
+        if cfg.clustering in ("zorder", "hilbert") and cfg.cluster_columns:
+            df = add_cluster_key(df, list(cfg.cluster_columns), curve=cfg.clustering)
+            df = df.repartitionByRange(b.output_parallelism, CLUSTER_COL).sortWithinPartitions(
+                CLUSTER_COL, *plain_sort
+            ).drop(CLUSTER_COL)
+        else:
+            # range keys include turn_idx ⇒ hot conversations split
+            # across output partitions (explicit skew handling)
+            df = df.repartitionByRange(b.output_parallelism, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+
+        avg_row = b.total_bytes / max(b.record_count, 1)
+        rows_per_file = cfg.records_per_file(avg_row)
+        safe = b.bin.replace("/", "_").replace("#", "_")
+        out_dir = os.path.join(self.table.data_dir, f"run-{run_id}", f"bin-{safe}")
+        (
+            df.write.mode("error")
+            .option("maxRecordsPerFile", rows_per_file)
+            .parquet(out_dir)
+        )
+        infos = mf.collect_file_infos(
+            mf.list_parquet_files(out_dir), content=mf.CONTENT_DATA, spark=self.spark
+        )
+        for fi in infos:
+            fi.partition = Table._partition_of(fi)
+        t1 = time.time()
+        row = {
+            "run_id": run_id,
+            "snapshot_id": snapshot_id,
+            "bin": b.bin,
+            "partition": b.partition,
+            "status": "done",
+            "input_paths": b.paths,
+            "output_paths": [fi.path for fi in infos],
+            "input_bytes": b.total_bytes,
+            "output_bytes": sum(fi.size_bytes for fi in infos),
+            "input_files": len(b.paths),
+            "output_files": len(infos),
+            "rows_processed": sum(fi.record_count for fi in infos),
+            "execution_time_ms": int((t1 - t0) * 1000),
+            "started_ms": int(t0 * 1000),
+            "finished_ms": int(t1 * 1000),
+        }
+        self._write_checkpoint_row(run_id, row)
+        return row
+
+    # ------------------------------------------------------------------
+    def _removable_delete_files(self, snapshot_id: int, rewritten: set[str]) -> list[str]:
+        """Delete files that become dangling once ``rewritten`` data
+        files are replaced (C12 cleanDanglingDeleteFiles):
+          * a position-delete file whose referenced data files are all
+            rewritten;
+          * an equality-delete file with no surviving data file of a
+            lower sequence number."""
+        man = self.table.manifest(snapshot_id)
+        data_rows = [r for r in man if r["content"] == mf.CONTENT_DATA]
+        remaining = [r for r in data_rows if r["path"] not in rewritten]
+        removable: list[str] = []
+
+        pos_rows = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
+        if pos_rows:
+            remaining_set = {r["path"] for r in remaining}
+            refs = (
+                scan_mod.read_position_deletes(self.spark, [r["path"] for r in pos_rows])
+                .select(
+                    F.col(FILE_COL).alias("ref"),
+                    F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias("delfile"),
+                )
+                .distinct()
+                .collect()
+            )
+            by_del: dict[str, set] = {}
+            for r in refs:
+                by_del.setdefault(r["delfile"], set()).add(r["ref"])
+            for p in (r["path"] for r in pos_rows):
+                if not (by_del.get(p, set()) & remaining_set):
+                    removable.append(p)
+
+        min_remaining_seq = min((r["sequence_number"] for r in remaining), default=None)
+        for r in (r for r in man if r["content"] == mf.CONTENT_EQ_DEL):
+            if min_remaining_seq is None or r["sequence_number"] <= min_remaining_seq:
+                removable.append(r["path"])
+        return removable
+
+    # ------------------------------------------------------------------
+    def execute(
+        self,
+        run_id: str | None = None,
+        snapshot_id: int | None = None,
+        parallel_bins: int = 1,
+    ) -> CompactionResult:
+        """Run a full compaction. Re-invoke with the same ``run_id`` to
+        resume an interrupted run (finished bins are skipped; outputs
+        reused; single commit at the end)."""
+        cfg = self.config
+        t0 = time.time()
+        run_id = run_id or uuid.uuid4().hex[:12]
+        sid = snapshot_id if snapshot_id is not None else self.table.current_snapshot_id
+        if sid is None:
+            raise ValidationError("table has no snapshot to compact")
+
+        done = self._load_checkpoint(run_id)
+        for row in done.values():
+            if row["snapshot_id"] != sid:
+                raise ValidationError(
+                    f"checkpoint run-{run_id} pinned snapshot {row['snapshot_id']}, "
+                    f"table now at {sid}; start a new run"
+                )
+
+        bins = self.plan(sid)
+        res = CompactionResult(run_id=run_id, snapshot_before=sid, snapshot_after=None)
+        res.bins_total = len(bins)
+        if not bins:
+            res.snapshot_after = sid
+            res.wall_s = time.time() - t0
+            return res
+
+        man = self.table.manifest(sid)
+        eq_present = any(r["content"] == mf.CONTENT_EQ_DEL for r in man)
+        seq_all = {r["path"]: r["sequence_number"] for r in man if r["content"] == mf.CONTENT_DATA}
+
+        pending = [b for b in bins if b.bin not in done]
+        rows: list[dict] = list(done.values())
+
+        def run_bin(b: BinPlan) -> dict:
+            seqs = {p: seq_all[p] for p in b.paths} if eq_present else {}
+            return self._rewrite_bin(run_id, sid, b, seqs)
+
+        if parallel_bins > 1 and len(pending) > 1:
+            # concurrent Spark jobs on one session — the scheduler
+            # interleaves stages (replaces the reference's worker pool)
+            with ThreadPoolExecutor(max_workers=parallel_bins) as ex:
+                rows += list(ex.map(run_bin, pending))
+        else:
+            rows += [run_bin(b) for b in pending]
+
+        res.bins_executed = len(pending)
+        res.bins_skipped = len(done)
+
+        # ---- single atomic commit (PlannerCommit) ----
+        rewritten = {p for r in rows for p in r["input_paths"]}
+        added: list[mf.FileInfo] = []
+        out_paths = [p for r in rows for p in r["output_paths"]]
+        infos = mf.collect_file_infos(out_paths, content=mf.CONTENT_DATA, spark=self.spark)
+        for fi in infos:
+            fi.partition = Table._partition_of(fi)
+        added = infos
+        removable_dels = self._removable_delete_files(sid, rewritten)
+
+        if cfg.commit_mode == CommitMode.NO_COMMIT:
+            res.snapshot_after = sid
+        else:
+            res.snapshot_after = self.table.commit(
+                "replace",
+                added=added,
+                removed_paths=sorted(rewritten) + removable_dels,
+                expected_snapshot_id=sid,
+            )
+
+        res.input_files = sum(r["input_files"] for r in rows)
+        res.output_files = sum(r["output_files"] for r in rows)
+        res.input_bytes = sum(r["input_bytes"] for r in rows)
+        res.output_bytes = sum(r["output_bytes"] for r in rows)
+        res.rows_processed = sum(r["rows_processed"] for r in rows)
+        res.removed_delete_files = len(removable_dels)
+        res.lineage = rows
+        res.wall_s = time.time() - t0
+        return res

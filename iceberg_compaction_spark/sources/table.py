@@ -349,7 +349,15 @@ class Table:
         if field and field not in df.columns:
             df = df.withColumn(field, F.expr(expr))
         out_dir = os.path.join(self.data_dir, subdir or uuid.uuid4().hex[:12])
-        writer = df.write.mode("error")
+        if field:
+            # partition purity: every data file holds exactly one
+            # partition value (Iceberg invariant). ``_pdir`` drives the
+            # directory layout while ``field`` stays a data column so
+            # explicit-file-list scans keep it.
+            writer = df.withColumn("_pdir", F.col(field)).write.partitionBy("_pdir")
+        else:
+            writer = df.write
+        writer = writer.mode("error")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         writer.parquet(out_dir)
