@@ -1,0 +1,188 @@
+"""Table maintenance ops beyond compaction (C12): snapshot expiry,
+orphan-file cleanup, dangling-delete cleanup, manifest rewrite.
+
+The reference specs these as its maintainer catalog
+(``/root/reference/LEARNING_AND_ARCHITECTURE.md:173-179``:
+cleanOrphanFiles, cleanDanglingDeleteFiles, expireSnapshots,
+expireData) — required by the north rule ("snapshot expire",
+retention semantics verified).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.errors import ValidationError
+from iceberg_compaction_spark.operators.mor import FILE_COL
+from iceberg_compaction_spark.sources import manifest as mf
+from iceberg_compaction_spark.sources import scan as scan_mod
+from iceberg_compaction_spark.sources.table import Table
+
+
+@dataclass
+class ExpiryResult:
+    expired_snapshot_ids: list
+    retained_snapshot_ids: list
+    deleted_data_files: int
+    deleted_bytes: int
+
+
+def expire_snapshots(
+    table: Table,
+    older_than_ms: int | None = None,
+    retain_last: int = 1,
+    delete_files: bool = True,
+) -> ExpiryResult:
+    """Drop snapshots older than ``older_than_ms`` while always
+    retaining the current one and the newest ``retain_last``. Files
+    referenced only by expired snapshots are deleted from storage.
+
+    Retention semantics verified by tests: expired snapshots become
+    unreadable (time travel fails), retained ones stay readable, and
+    no live file is ever deleted.
+    """
+    snaps = table.snapshots()
+    if not snaps:
+        return ExpiryResult([], [], 0, 0)
+    current = table.current_snapshot_id
+    cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) + 1
+    by_id = sorted(snaps, key=lambda s: s["snapshot_id"])
+    newest = {s["snapshot_id"] for s in by_id[-max(retain_last, 1):]}
+    retained = [
+        s["snapshot_id"]
+        for s in by_id
+        if s["snapshot_id"] == current
+        or s["snapshot_id"] in newest
+        or s["timestamp_ms"] >= cutoff
+    ]
+    expired = [s["snapshot_id"] for s in by_id if s["snapshot_id"] not in retained]
+    if not expired:
+        return ExpiryResult([], retained, 0, 0)
+
+    live_paths: set = set()
+    for sid in retained:
+        live_paths |= {r["path"] for r in table.manifest(sid)}
+
+    deleted = 0
+    deleted_bytes = 0
+    for sid in expired:
+        for r in table.manifest(sid):
+            p = r["path"]
+            if p not in live_paths and os.path.exists(p) and delete_files:
+                deleted_bytes += os.path.getsize(p)
+                os.unlink(p)
+                deleted += 1
+        os.unlink(table._manifest_path(sid))
+        os.unlink(table._snap_path(sid))
+    return ExpiryResult(expired, retained, deleted, deleted_bytes)
+
+
+def clean_orphan_files(
+    table: Table,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Remove data/delete files on storage that no retained snapshot
+    references — the manifest-vs-listing anti-join. ``older_than_ms``
+    guards in-flight writes (files newer than the cutoff are kept even
+    if unreferenced), defaulting to now (tests) — production would use
+    now − several hours.
+    """
+    cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) + 1
+    live: set = set()
+    for s in table.snapshots():
+        live |= {r["path"] for r in table.manifest(s["snapshot_id"])}
+    orphans = []
+    for root in (table.data_dir, table.deletes_dir):
+        for p in mf.list_parquet_files(root):
+            if p not in live and os.path.getmtime(p) * 1000 < cutoff:
+                orphans.append(p)
+    if not dry_run:
+        for p in orphans:
+            os.unlink(p)
+        # sweep committer artifacts (_SUCCESS, .crc) from directories
+        # holding no live parquet anymore, then drop empty dirs
+        live_dirs = {os.path.dirname(p) for p in live}
+        for root in (table.data_dir, table.deletes_dir):
+            for dirpath, dirnames, filenames in os.walk(root, topdown=False):
+                if dirpath == root or dirpath in live_dirs:
+                    continue
+                if not any(f.endswith(".parquet") for f in filenames):
+                    for f in filenames:
+                        os.unlink(os.path.join(dirpath, f))
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+    return sorted(orphans)
+
+
+def clean_dangling_deletes(spark: SparkSession, table: Table) -> int:
+    """Rewrite position-delete files dropping entries that reference
+    data files no longer live; drop delete files that end up empty or
+    whose sequence number can no longer match anything
+    (cleanDanglingDeleteFiles). Returns the new snapshot id, or the
+    current one if nothing to do."""
+    man = table.manifest()
+    data_paths = {r["path"] for r in man if r["content"] == mf.CONTENT_DATA}
+    pos_rows = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
+    min_data_seq = min(
+        (r["sequence_number"] for r in man if r["content"] == mf.CONTENT_DATA), default=None
+    )
+    removed: list[str] = []
+    added: list[mf.FileInfo] = []
+
+    if pos_rows:
+        pos_df = scan_mod.read_position_deletes(spark, [r["path"] for r in pos_rows])
+        live_refs = pos_df.filter(F.col(FILE_COL).isin(sorted(data_paths)))
+        n_total = pos_df.count()
+        n_live = live_refs.count()
+        if n_live < n_total:
+            removed += [r["path"] for r in pos_rows]
+            if n_live > 0:
+                import uuid
+
+                out_dir = os.path.join(table.deletes_dir, "pos-" + uuid.uuid4().hex[:12])
+                live_refs.coalesce(1).write.parquet(out_dir)
+                infos = mf.collect_file_infos(
+                    mf.list_parquet_files(out_dir), content=mf.CONTENT_POS_DEL
+                )
+                # keep original ordering semantics: position deletes are
+                # seq-agnostic, but preserve the max source seq anyway
+                max_seq = max(r["sequence_number"] for r in pos_rows)
+                for fi in infos:
+                    fi.sequence_number = max_seq
+                added += infos
+
+    for r in (r for r in man if r["content"] == mf.CONTENT_EQ_DEL):
+        if min_data_seq is None or r["sequence_number"] <= min_data_seq:
+            removed.append(r["path"])
+
+    if not removed:
+        return table.current_snapshot_id
+    return table.commit("maintenance", added=added, removed_paths=removed)
+
+
+def rewrite_manifests(table: Table) -> int:
+    """Rewrite the current manifest compacted & canonically ordered
+    (path-sorted, partition-major) — the metadata analogue of data
+    compaction (C8/C12). With base+delta manifests this would merge
+    deltas; with single-file manifests it canonicalizes and re-stamps.
+    """
+    rows = table.manifest()
+    rows = sorted(rows, key=lambda r: (r["partition"], r["content"], r["path"]))
+    sid = table.current_snapshot_id
+    if sid is None:
+        raise ValidationError("nothing to rewrite")
+    # idempotent rewrite via a fresh snapshot: remove+add everything
+    infos = [
+        mf.FileInfo(**{k: r[k] for k in (
+            "path", "content", "size_bytes", "record_count", "sequence_number",
+            "partition", "equality_ids", "stats_json",
+        )})
+        for r in rows
+    ]
+    return table.commit("rewrite_manifests", added=infos, removed_paths=[r["path"] for r in rows])
