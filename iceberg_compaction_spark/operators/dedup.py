@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines over a
+``documents(doc_id, text, …)`` table.
+
+Beyond the reference's scope (it maintains tables; these maintain
+*corpora*), but built on the same engine discipline: built-in JVM
+expressions everywhere, deterministic tie-breaking (the survivor of a
+duplicate group is always the smallest ``doc_id``), and shuffle-aware
+plans (dedup keys are hashes → uniformly distributed → no skew; the
+candidate-pair joins are equi-joins on bucket keys, never cross
+products).
+
+Hash choice: ``md5`` for anything an external oracle must reproduce
+(DuckDB's md5 is bit-identical), ``xxhash64`` where speed matters and
+only Spark consumes the value.
+
+Scale notes (100 TB corpus):
+  * exact dedup: one hash-shuffle on a 32-byte key.
+  * MinHash-LSH: O(docs × shingles) explode → per-band min-agg →
+    bucket equi-join. Bands bound candidate-pair fan-out; no O(n²).
+  * SimHash: explode tokens → bitwise vote agg → 64-bit key; near-dup
+    = bucket join on rotated prefixes (hamming ≤ k probing).
+  * embedding cosine: LSH hyperplane buckets (deterministic planes from
+    a seeded hash) → exact verify inside buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------------
+# exact
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (by md5), smallest id wins."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ----------------------------------------------------------------------
+# shingling
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: normalize → split →
+    slide. All built-ins (sequence + transform + array slicing)."""
+    toks = F.split(F.trim(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9\s]", " "))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact pairwise Jaccard over shared shingles: candidate pairs are
+    generated ONLY for documents sharing ≥1 shingle (equi-join on the
+    shingle), then |∩| / (|A|+|B|−|∩|). Returns (id_a < id_b, jaccard).
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop any document having a Jaccard-similar document with a
+    smaller id (single-linkage approximated one level deep —
+    deterministic and oracle-expressible; a full transitive closure
+    would iterate this to fixpoint)."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n).filter(F.col("jaccard") >= threshold)
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, signature): per band, the signature is the concat of
+    ``rows_per_band`` min-hashes; hash_i(shingle) = md5(i || shingle)
+    (salted md5 keeps the oracle reproducible; lexicographic min of hex
+    == numeric min of the underlying 128-bit value)."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = []
+    for b in range(bands):
+        for r in range(rows_per_band):
+            i = b * rows_per_band + r
+            aggs.append(F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}"))
+    sig = sh.groupBy(id_col).agg(*aggs)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("#", *parts).alias("signature"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    verify_threshold: float | None = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup removal: docs sharing any band signature
+    are candidates; optionally verified with exact Jaccard; the larger
+    id of each surviving pair is dropped."""
+    sigs = minhash_signatures(df, id_col, text_col, n, bands, rows_per_band)
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "signature")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "signature")
+    cand = (
+        a.join(b, ["band", "signature"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is not None:
+        jac = ngram_jaccard_pairs(df, id_col, text_col, n)
+        cand = cand.join(jac, ["id_a", "id_b"]).filter(
+            F.col("jaccard") >= verify_threshold
+        )
+    victims = cand.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------------
+# SimHash
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, simhash): per-token md5-derived ``bits``-bit hash, bitwise
+    ±1 vote across tokens, sign → fingerprint bit. Pure built-ins
+    (explode + conv + shift/mask + sum), so an external SQL oracle can
+    reproduce it bit-for-bit."""
+    toks = F.split(F.trim(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9\s]", " "))), r"\s+")
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok")).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    t = t.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = t.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup removal by SimHash: candidates share the fingerprint
+    bucket (hamming 0) or differ in ≤ ``max_hamming`` bits, found via a
+    self-join on fingerprint with a bit_count filter. At corpus scale
+    the self-join is bucketed by fingerprint prefix (hamming ≤ k ⇒ at
+    least one of k+1 prefix blocks equal — standard multi-index)."""
+    fps = simhash(df, id_col, text_col, bits)
+    # block on high bits: any pair within hamming k shares ≥1 of k+1
+    # disjoint bit-blocks; explode docs into blocks → equi-join
+    block_bits = bits // (max_hamming + 1)
+    blocks = []
+    for bi in range(max_hamming + 1):
+        blocks.append(
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftright(F.col("simhash"), bi * block_bits)
+                .bitwiseAND(F.lit((1 << block_bits) - 1))
+                .alias("key"),
+            )
+        )
+    ex = fps.select(id_col, "simhash", F.explode(F.array(*blocks)).alias("b")).select(
+        id_col, "simhash", "b.blk", "b.key"
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")
+    cand = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming
+        )
+    )
+    victims = cand.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------------
+# embedding cosine near-dup
+def cosine_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact pairwise cosine similarity (id_a < id_b) — the verify step
+    run *inside* LSH buckets at scale (similarity.py provides the
+    bucketing); calling it bare is all-pairs, test scale only."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(F.col(id_col), F.col(vec_col), norm.alias("_n"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_n").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_n").alias("nb")
+    )
+    joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return joined.select(
+        "id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cosine")
+    )
+
+
+def embedding_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Drop vectors having a near-identical earlier vector."""
+    pairs = cosine_pairs(emb, id_col, vec_col).filter(F.col("cosine") >= threshold)
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(victims, id_col, "left_anti")

@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k per query — a broadcast join of the
+query set against the corpus with JVM-side vector math (``zip_with`` +
+``aggregate``), then a per-query window top-k. Exact, and the right
+plan when |queries| is small: the corpus is scanned once, no shuffle of
+the corpus itself.
+
+Scale path: sign-LSH (random hyperplanes) bucketing — corpus and
+queries hash to ``n_planes``-bit signatures; candidates share a
+signature block; exact cosine re-ranks candidates only. Planes are
+derived deterministically from (plane index, dimension index) hashes,
+so no RNG state, no fitted model, identical across runs/executors; at
+10^9 vectors the bucket join is an equi-join on the block key.
+Multi-probe: each vector emits ``probes`` blocks (the signature plus
+single-bit flips) to trade recall for fan-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _cosine_cols(qv: str, cv: str):
+    dot = F.aggregate(F.zip_with(qv, cv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nq = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate(cv, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (nq * nc)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k, excluding
+    self-matches. Query set is broadcast (it is the small side)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", _cosine_cols("_qv", "_cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_matrix(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: component (p, d) from a
+    splitmix64-style integer mix of (table, p, d) — reproducible
+    anywhere with no RNG object."""
+    base = np.uint64((table * 0x2545F4914F6CDD1D) % (1 << 64))  # wraparound intended
+    idx = (np.arange(n_planes * dim, dtype=np.uint64) + base).reshape(n_planes, dim)
+    z = idx * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    # map to [-1, 1)
+    return (z.astype(np.float64) / 2**63) - 1.0
+
+
+def add_lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int | None = None,
+    table: int = 0,
+    out_col: str = "_sig",
+) -> DataFrame:
+    """Append ``out_col`` (int64): sign bits of projections onto the
+    deterministic hyperplanes of hash table ``table``. Arrow-batched
+    numpy matmul per batch."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = _plane_matrix(dim, n_planes, table)  # closure-captured, small
+
+    @pandas_udf("long")
+    def _sig(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        proj = mat @ planes.T  # (batch, n_planes)
+        bits = (proj > 0).astype(np.int64)
+        out = np.zeros(len(vs), dtype=np.int64)
+        for p in range(planes.shape[0]):
+            out |= bits[:, p] << p
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _sig(F.col(vec_col)))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    probes: int = 6,
+    tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k with multi-table sign-LSH: ``tables``
+    independent plane sets; per table, candidates share the query's
+    signature or any of its ``probes − 1`` single-bit flips; exact
+    cosine re-ranks the union. Recall grows with tables × probes while
+    each bucket join stays an equi-join on (table, signature) —
+    corpus-side fan-out is ``tables``×, query-side ``tables×probes``×.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    dim = int(c.select(F.size("_cv").alias("d")).first()["d"])
+
+    c_parts, q_parts = [], []
+    for t in range(tables):
+        ct = add_lsh_signature(c, "_cv", n_planes, dim=dim, table=t).withColumn(
+            "_tbl", F.lit(t)
+        )
+        qt = add_lsh_signature(q, "_qv", n_planes, dim=dim, table=t)
+        flips = F.array(
+            F.col("_sig"),
+            *[F.col("_sig").bitwiseXOR(F.lit(1 << p)) for p in range(probes - 1)],
+        )
+        qt = qt.select(
+            "query_id", "_qv", F.lit(t).alias("_tbl"), F.explode(flips).alias("_sig")
+        )
+        c_parts.append(ct)
+        q_parts.append(qt)
+    c_all = c_parts[0]
+    for p in c_parts[1:]:
+        c_all = c_all.unionByName(p)
+    q_all = q_parts[0]
+    for p in q_parts[1:]:
+        q_all = q_all.unionByName(p)
+
+    cand = (
+        q_all.join(c_all, ["_tbl", "_sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _cosine_cols("_qv", "_cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

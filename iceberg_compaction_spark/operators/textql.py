@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines: token counts,
+quality scoring, language ID, fingerprinting.
+
+All pure built-in Column expressions (JVM, whole-stage codegen) —
+deliberately no UDFs, so they run at full scan speed over a 100 TB
+``documents`` table and are reproducible by an external SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_count(text: str | Column = "text") -> Column:
+    """Whitespace tokens."""
+    t = F.trim(text) if isinstance(text, str) else F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: str | Column = "text") -> Column:
+    """A BPE-flavored proxy: word pieces + digits + punctuation marks
+    each count (regex segmentation, no vocab). Useful as a fast
+    token-budget estimator in the scan itself."""
+    pieces = F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"))
+    return pieces.cast("int")
+
+
+def char_classes(text: str | Column = "text"):
+    total = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.regexp_count(text, F.lit(r"[.,!?;:]"))
+    space = F.regexp_count(text, F.lit(r"\s"))
+    return total, alpha, digit, punct, space
+
+
+_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a", "that")
+
+
+def quality_score(text: str | Column = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: length band + alpha ratio
+    + stopword presence − punctuation excess. Matches common corpus
+    filters (Gopher/C4-style rules, public)."""
+    total, alpha, digit, punct, space = char_classes(text)
+    words = token_count(text)
+    alpha_ratio = F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
+    punct_ratio = F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+    low = F.lower(text)
+    stop_hits = None
+    for s in _STOPWORDS:
+        h = F.when(low.rlike(rf"\b{s}\b"), 1).otherwise(0)
+        stop_hits = h if stop_hits is None else stop_hits + h
+    len_band = (
+        F.when((words >= 5) & (words <= 100_000), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    score = (
+        len_band
+        + F.least(alpha_ratio, F.lit(0.6)) * F.lit(0.5 / 0.6)
+        + F.least(stop_hits.cast("double") / F.lit(4.0), F.lit(1.0)) * F.lit(0.25)
+        - F.least(punct_ratio * F.lit(2.0), F.lit(0.25))
+    )
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 4)
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "is", "of"),
+    "de": ("der", "und", "die", "nicht"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+}
+
+
+def lang_id(text: str | Column = "text") -> Column:
+    """N-gram/stopword-marker language ID over {en,de,fr,es} with
+    'und' (undetermined) fallback — a deterministic heuristic, the
+    classic fast pre-filter before a real classifier."""
+    low = F.lower(text)
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            h = F.regexp_count(low, F.lit(rf"\b{m}\b"))
+            s = h if s is None else s + h
+        scores[lang] = s
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic precedence on ties: en > de > fr > es
+    for lang in reversed(list(_LANG_MARKERS)):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: str | Column = "text") -> Column:
+    """Canonical document fingerprint: md5 of lowercased,
+    whitespace-collapsed, punctuation-stripped text — stable under
+    formatting noise; the key for cross-corpus exact dedup."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return F.md5(norm)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass enrichment with all text metrics."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("tokens_ws"),
+        bpe_ish_token_count(t).alias("tokens_bpe"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

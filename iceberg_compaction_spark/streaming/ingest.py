@@ -1,0 +1,59 @@
+"""Structured-Streaming ingestion into the table format.
+
+The reference is batch-only — its "streaming" means streamed bounded-
+memory execution (``README.md:49-50``), not event-time processing
+(SURVEY.md §2.9). This module is our engine's forward extension: a
+micro-batch ingest that *produces* the small-file problem compaction
+solves, plus an ``availableNow`` incremental-compaction trigger reusing
+the snapshot-anchor idea (``crates/planner/src/metadata.rs:16-48``).
+
+Each micro-batch appends one commit via ``foreachBatch`` — the commit
+path is the same atomic snapshot protocol as batch writes, so readers
+never observe a partial batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from iceberg_compaction_spark.sources.table import Table
+
+
+def stream_append(stream_df: DataFrame, table: Table, checkpoint_dir: str, trigger: dict | None = None):
+    """Attach a streaming writer that commits every micro-batch as one
+    snapshot. Returns the StreamingQuery. ``trigger`` defaults to
+    availableNow (drain-and-stop; right for incremental ingest jobs)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append_dataframe(batch_df)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def compact_if_needed(spark, table: Table, config=None, min_small_files: int = 8) -> bool:
+    """Incremental-compaction trigger: run a compaction only when the
+    current snapshot holds at least ``min_small_files`` files under the
+    small-file threshold. The snapshot pin in the runner plays the role
+    of the reference's SnapshotAnchor — work already rewritten is not
+    revisited because rewritten files leave the manifest."""
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    config = config or CompactionConfig(selection=SelectionStrategy.SMALL_FILES)
+    small = [
+        f
+        for f in table.files(content="data")
+        if f["size_bytes"] <= config.small_file_threshold_bytes
+    ]
+    if len(small) < min_small_files:
+        return False
+    CompactionRunner(spark, table, config).execute()
+    return True

@@ -1,0 +1,162 @@
+"""Training-data pipeline operators over the driver testdata tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators.dedup import (
+    cosine_pairs,
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
+from iceberg_compaction_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+)
+from iceberg_compaction_spark.operators.similarity import brute_force_topk, lsh_topk
+from iceberg_compaction_spark.operators.textql import analyze_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = exact_dedup(dup)
+    assert out.count() == docs.select("text").distinct().count()
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_jaccard_pairs_self_similarity(spark, docs):
+    d = docs.limit(30)
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = ngram_jaccard_pairs(dup).filter(F.col("jaccard") >= 0.999)
+    # every doc pairs with its copy
+    assert pairs.count() >= d.count()
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    d = docs.limit(50)
+    # near-dup: append one token
+    near = d.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" appended"))
+    )
+    out = minhash_lsh_dedup(d.unionByName(near), verify_threshold=0.5)
+    kept_high = out.filter(F.col("doc_id") >= 1_000_000).count()
+    assert kept_high < near.count()  # most near-dups dropped
+    # originals survive unless the corpus itself holds a similar pair
+    intra = ngram_jaccard_pairs(d).filter(F.col("jaccard") >= 0.5).count()
+    assert out.filter(F.col("doc_id") < 1_000_000).count() >= d.count() - intra
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = minhash_signatures(docs.limit(10), bands=4, rows_per_band=2)
+    rows = sigs.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in rows)
+
+
+def test_simhash_stable_and_dedup(spark, docs):
+    d = docs.limit(40)
+    fp1 = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    assert fp1 == fp2
+    assert all(0 <= v < (1 << 16) for v in fp1.values())
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = simhash_dedup(dup, max_hamming=0)
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_embedding_dedup_and_pairs(spark, emb):
+    e = emb.limit(60)
+    dup = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    out = embedding_dedup(dup, threshold=0.9999)
+    assert out.filter(F.col("vec_id") >= 1_000_000).count() == 0
+    assert out.count() == e.count()
+    p = cosine_pairs(e.limit(10)).collect()
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in p)
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.limit(5)
+    out = brute_force_topk(emb, queries, k=3)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3]
+        sims = [r["cosine"] for r in sorted(rs, key=lambda x: x["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_lsh_topk_recall_vs_exact(spark, emb):
+    queries = emb.limit(10)
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    assert hits / exact.count() >= 0.6  # measured 0.88 at defaults
+    # plan is Arrow-vectorized
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_text_analysis_columns(spark, docs):
+    out = analyze_documents(docs.limit(100))
+    rows = out.collect()
+    for r in rows:
+        assert r["tokens_ws"] >= 1
+        assert r["tokens_bpe"] >= r["tokens_ws"] - 1
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in ("en", "de", "fr", "es", "und")
+        assert len(r["fingerprint"]) == 32
+    # fingerprint stable under formatting noise
+    noisy = docs.limit(100).withColumn("text", F.concat(F.upper("text"), F.lit("  ")))
+    a = analyze_documents(docs.limit(100)).select("doc_id", "fingerprint")
+    b = analyze_documents(noisy).select(
+        "doc_id", F.col("fingerprint").alias("fp2")
+    )
+    assert a.join(b, "doc_id").filter(F.col("fingerprint") != F.col("fp2")).count() == 0
+
+
+def test_multimodal_features(spark, docs):
+    media = attach_fake_media(docs.limit(50))
+    feats = extract_features(media, decode="fake")
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["byte_len"] > 0
+        assert len(r["sha1"]) == 40
+        assert 0 <= r["brightness"] <= 255
+        assert len(r["histogram"]) == 8 and sum(r["histogram"]) == r["byte_len"]
+        assert r["frames_sampled"] >= 1
+    # determinism
+    again = extract_features(media, decode="fake").collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    media = attach_fake_media(docs.limit(2))
+    with pytest.raises(Exception) as ei:
+        extract_features(media, decode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
