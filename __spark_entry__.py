@@ -1,38 +1,92 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end engine round-trip
+(transcripts table ← events, small files + equality deletes, FFD
+compaction with merge-on-read, post-compaction scan). ``queries()`` /
+``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
+training-data pipeline operators; keys without an oracle are
+non-SQL-expressible ops (Hilbert curve, approximate LSH ANN, sha1
+multimodal features) and get the driver's rows-only check — their
+correctness is pinned by tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_compaction_spark import queries as Q  # noqa: E402
+from iceberg_compaction_spark import queries_pipeline as QP  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QP.q_transcripts_compaction_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- engine core (SURVEY.md §2) ---
+        "mor_position_delete": Q.q_mor_position_delete,
+        "mor_equality_delete_seq": Q.q_mor_equality_delete_seq,
+        "small_files_selection": Q.q_small_files_selection,
+        "size_histogram": Q.q_size_histogram,
+        "ffd_binpack_window": Q.q_ffd_binpack_window,
+        "group_totals": Q.q_group_totals,
+        "parallelism_formula": Q.q_parallelism_formula,
+        "delete_file_dedup": Q.q_delete_file_dedup,
+        "commit_summary_rollup": Q.q_commit_summary_rollup,
+        "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
+        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
+        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
+        "salted_aggregation": Q.q_salted_aggregation,
+        "pricing_summary": Q.q_pricing_summary,
+        "zorder_key": Q.q_zorder_key,
+        "hilbert_key": Q.q_hilbert_key,
+        "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
+        # --- training-data pipeline ---
+        "exact_dedup": QP.q_exact_dedup,
+        "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
+        "minhash_band_signatures": QP.q_minhash_band_signatures,
+        "simhash_fingerprint": QP.q_simhash_fingerprint,
+        "text_analysis": QP.q_text_analysis,
+        "embedding_topk": QP.q_embedding_topk,
+        "embedding_dedup": QP.q_embedding_dedup,
+        "lsh_ann_topk": QP.q_lsh_ann_topk,
+        "multimodal_features": QP.q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mor_position_delete": Q.MOR_POSITION_DELETE_SQL,
+        "mor_equality_delete_seq": Q.MOR_EQUALITY_DELETE_SEQ_SQL,
+        "small_files_selection": Q.SMALL_FILES_SELECTION_SQL,
+        "size_histogram": Q.SIZE_HISTOGRAM_SQL,
+        "ffd_binpack_window": Q.FFD_BINPACK_WINDOW_SQL,
+        "group_totals": Q.GROUP_TOTALS_SQL,
+        "parallelism_formula": Q.PARALLELISM_FORMULA_SQL,
+        "delete_file_dedup": Q.DELETE_FILE_DEDUP_SQL,
+        "commit_summary_rollup": Q.COMMIT_SUMMARY_ROLLUP_SQL,
+        "snapshot_expiry_filter": Q.SNAPSHOT_EXPIRY_FILTER_SQL,
+        "orphan_files_antijoin": Q.ORPHAN_FILES_ANTIJOIN_SQL,
+        "merge_upsert_dedup": Q.MERGE_UPSERT_DEDUP_SQL,
+        "salted_aggregation": Q.SALTED_AGGREGATION_SQL,
+        "pricing_summary": Q.PRICING_SUMMARY_SQL,
+        "zorder_key": Q.ZORDER_KEY_SQL,
+        # hilbert_key: rows-only (iterative bit transform, no SQL form)
+        "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,
+        "exact_dedup": QP.EXACT_DEDUP_SQL,
+        "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,
+        "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,
+        "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
+        "text_analysis": QP.TEXT_ANALYSIS_SQL,
+        "embedding_topk": QP.EMBEDDING_TOPK_SQL,
+        "embedding_dedup": QP.EMBEDDING_DEDUP_SQL,
+        # lsh_ann_topk, multimodal_features: rows-only by design
+    }

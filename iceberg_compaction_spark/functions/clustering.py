@@ -143,8 +143,10 @@ def add_cluster_key(
         for i, s in enumerate(series):
             arr = _to_numeric_array(s)
             b = bnd_list[i]
+            # side='right' ⇒ cut points (1..2^bits−1) map value v of an
+            # identity-bucketed domain to rank v exactly
             coords[:, i] = (
-                np.searchsorted(b, arr, side="left").astype(np.uint32)
+                np.searchsorted(b, arr, side="right").astype(np.uint32)
                 if len(b)
                 else np.zeros(n, dtype=np.uint32)
             )

@@ -1,0 +1,367 @@
+"""Driver-contract queries, part 2: corpus-pipeline operators over
+``documents`` / ``embeddings``, plus the flagship end-to-end engine
+round-trip. Same determinism rules as queries.py."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.queries import _t, _utc
+
+# Shared normalization (Spark + DuckDB spellings kept in lockstep)
+_NORM_SPARK = lambda c: F.split(  # noqa: E731
+    F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"
+)
+_NORM_SQL = (
+    "string_split_regex(trim(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')"
+)
+
+
+# ======================================================================
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor per md5(text), smallest doc_id wins."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+EXACT_DEDUP_SQL = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard similarity pairs ≥ 0.2 (shared-shingle equi-join,
+    never a cross product)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(c / (sa.sz + sb.sz - c), 4) AS jaccard_r
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c / (sa.sz + sb.sz - c) >= 0.2
+"""
+
+
+def q_minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band signatures (salted-md5 min per hash slot,
+    4 bands × 2 rows)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, bands=4, rows_per_band=2)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
+    )
+    bands = []
+    for b in range(4):
+        bands.append(
+            f"SELECT doc_id, {b} AS band, h{2*b} || '#' || h{2*b+1} AS signature FROM sig"
+        )
+    union = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh GROUP BY doc_id)
+{union}
+"""
+
+
+MINHASH_BAND_SIGNATURES_SQL = _minhash_sql()
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token md5 hashes, bitwise vote)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n       ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END) * {1 << i}" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NORM_SQL.format(c='text')}) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM toks WHERE tok <> ''),
+votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SIMHASH_FINGERPRINT_SQL = _simhash_sql()
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text metrics: token counts, quality score, language ID,
+    canonical fingerprint."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.textql import analyze_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return analyze_documents(docs).select(
+        "doc_id", "tokens_ws", "tokens_bpe", "quality", "lang_pred", "fingerprint"
+    )
+
+
+def _stop_hits_sql() -> str:
+    words = ("the", "and", "of", "to", "in", "is", "a", "that")
+    return " + ".join(
+        f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in words
+    )
+
+
+def _lang_sql() -> str:
+    markers = {
+        "en": ("the", "and", "is", "of"),
+        "de": ("der", "und", "die", "nicht"),
+        "fr": ("le", "la", "et", "les"),
+        "es": ("el", "los", "que", "y"),
+    }
+    scores = {
+        lang: " + ".join(
+            f"length(regexp_extract_all(lower(text), '\\b{m}\\b'))" for m in ms
+        )
+        for lang, ms in markers.items()
+    }
+    best = f"greatest({scores['en']}, {scores['de']}, {scores['fr']}, {scores['es']})"
+    out = "'und'"
+    for lang in ("es", "fr", "de", "en"):
+        out = f"CASE WHEN ({best}) > 0 AND ({scores[lang]}) = ({best}) THEN '{lang}' ELSE {out} END"
+    return out
+
+
+TEXT_ANALYSIS_SQL = f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS tokens_ws,
+  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]')) AS INT)
+    AS tokens_bpe,
+  round(greatest(least(
+      (CASE WHEN array_length(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 100000
+            THEN 0.25 ELSE 0.0 END)
+      + least(CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                   ELSE 0.0 END, 0.6) * (0.5 / 0.6)
+      + least(({_stop_hits_sql()}) / 4.0, 1.0) * 0.25
+      - least((CASE WHEN length(text) > 0
+                    THEN length(regexp_extract_all(text, '[.,!?;:]')) / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END) * 2.0, 0.25)
+    , 1.0), 0.0), 4) AS quality,
+  {_lang_sql()} AS lang_pred,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))
+    AS fingerprint
+FROM documents
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for a deterministic query set
+    (vec_id % 100 == 0), double-precision math in both engines."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = brute_force_topk(emb, queries, k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+           AS cosine
+  FROM q, e WHERE q.query_id <> e.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine_r
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup removal at cosine ≥ 0.98 (larger id dies)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_dedup(emb, threshold=0.98).select("vec_id", "label")
+
+
+EMBEDDING_DEDUP_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+victims AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.98)
+SELECT e.vec_id, e.label FROM e ANTI JOIN victims x ON e.vec_id = x.vec_id
+"""
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via multi-table sign-LSH (pandas-UDF signatures)
+    — no SQL oracle (approximate by construction); rows-only check.
+    tests/test_pipeline_ops.py pins recall ≥ 0.6 against brute force."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries, k=3)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + mapInPandas feature extraction (decode
+    stubbed deterministically). sha1/byte stats are reproducible, but
+    DuckDB lacks sha1 — rows-only check; pytest pins determinism."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(docs), decode="fake").select(
+        "doc_id", "media_type", "byte_len", "sha1", F.round("brightness", 4).alias("brightness_r")
+    )
+
+
+# ======================================================================
+# flagship: full engine round-trip
+def build_transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → transcript rows: conv_id per user, dense turn_idx in
+    (ts, event_id) order — deterministic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        F.format_string("conv_%06d", F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+            (F.pmod(F.row_number().over(w) - 1, F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+        F.concat_ws("|", "event_type", "props").alias("text"),
+        F.when(F.col("event_type") == "click", F.lit("mouse")).alias("tool"),
+        F.col("ts"),
+    )
+
+
+TRANSCRIPTS_BASE_SQL = """
+SELECT printf('conv_%06d', user_id) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS INT)
+         AS turn_idx,
+       ['user','assistant','system','tool']
+         [((row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1) % 4) + 1]
+         AS role,
+       concat_ws('|', event_type, props) AS text,
+       CASE WHEN event_type = 'click' THEN 'mouse' END AS tool,
+       ts
+FROM events
+"""
+
+
+def q_transcripts_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: build a transcripts table from events, write it as
+    many small files, add equality deletes, bin-pack-compact with
+    merge-on-read resolution, and scan the result — which must equal
+    the plain SQL anti-join over the original events. Exercises S1-S9,
+    P1-P6, J1-J3, A1-A4, O1-O2, C1-C7 end-to-end against DuckDB."""
+    _utc(spark)
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_flagship_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.repartition(16, F.xxhash64("conv_id", "turn_idx")))
+        dels = base.filter(F.col("turn_idx") % 7 == 3).select("conv_id", "turn_idx")
+        table.add_equality_deletes(dels, keys=["conv_id", "turn_idx"])
+        cfg = CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            group_target_size_bytes=8 << 20,
+            target_file_size_bytes=8 << 20,
+        )
+        CompactionRunner(spark, table, cfg).execute()
+        out = table.scan(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        rows = out.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE turn_idx % 7 <> 3
+"""
