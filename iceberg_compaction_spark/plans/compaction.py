@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from iceberg_compaction_spark.config import CommitMode, CompactionConfig, GroupingStrategy
 from iceberg_compaction_spark.errors import ValidationError
+from iceberg_compaction_spark.metrics import GLOBAL
 from iceberg_compaction_spark.functions.clustering import CLUSTER_COL, add_cluster_key
 from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL
 from iceberg_compaction_spark.plans.packer import plan_bins_df
@@ -134,6 +135,7 @@ class CompactionRunner:
         self.spark = spark
         self.table = table
         self.config = config or CompactionConfig()
+        self._info_cache: dict[str, list] = {}
 
     # ------------------------------------------------------------------
     def plan(self, snapshot_id: int | None = None) -> list[BinPlan]:
@@ -239,6 +241,16 @@ class CompactionRunner:
     def _rewrite_bin(self, run_id: str, snapshot_id: int, b: BinPlan, seq_by_path: dict) -> dict:
         cfg = self.config
         t0 = time.time()
+        # C3's executor_parallelism, realized: size the scan splits so
+        # the bin fans out to ≈executor_parallelism map tasks (Spark's
+        # default 128 MB split would coalesce a small-file bin into a
+        # handful of tasks and strand cores; the reference sets
+        # target_partitions the same way, mod.rs:93-95)
+        split = max(
+            4 << 20,
+            min(128 << 20, b.total_bytes // max(b.executor_parallelism, 1) + 1),
+        )
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         need_eq = bool(seq_by_path)
         pos_df, bpos, eq_groups = self._delete_frames(snapshot_id, b.paths)
         df = scan_mod.read_data_files(
@@ -272,20 +284,28 @@ class CompactionRunner:
                 *sort_cols
             )
 
+        # 1.5× slack: output partitions are already ≈target-sized by
+        # output_parallelism; the row cap only splits pathological skew,
+        # not the expected partition (which would shed tiny remainders)
         avg_row = b.total_bytes / max(b.record_count, 1)
-        rows_per_file = cfg.records_per_file(avg_row)
+        rows_per_file = int(cfg.records_per_file(avg_row) * 1.5)
         safe = b.bin.replace("/", "_").replace("#", "_")
         out_dir = os.path.join(self.table.data_dir, f"run-{run_id}", f"bin-{safe}")
+        tw = time.time()
         (
             df.write.mode("error")
             .option("maxRecordsPerFile", rows_per_file)
             .parquet(out_dir)
         )
+        GLOBAL.inc("compaction.write_s", time.time() - tw)
+        ts_ = time.time()
         infos = mf.collect_file_infos(
             mf.list_parquet_files(out_dir), content=mf.CONTENT_DATA, spark=self.spark
         )
+        GLOBAL.inc("compaction.stats_s", time.time() - ts_)
         for fi in infos:
             fi.partition = Table._partition_of(fi)
+        self._info_cache[b.bin] = infos
         t1 = time.time()
         row = {
             "run_id": run_id,
@@ -403,11 +423,17 @@ class CompactionRunner:
         # ---- single atomic commit (PlannerCommit) ----
         rewritten = {p for r in rows for p in r["input_paths"]}
         added: list[mf.FileInfo] = []
-        out_paths = [p for r in rows for p in r["output_paths"]]
-        infos = mf.collect_file_infos(out_paths, content=mf.CONTENT_DATA, spark=self.spark)
-        for fi in infos:
-            fi.partition = Table._partition_of(fi)
-        added = infos
+        for r in rows:
+            cached = self._info_cache.get(r["bin"])
+            if cached is not None:
+                added.extend(cached)
+            else:  # resumed bin: stats re-read from its output footers
+                infos = mf.collect_file_infos(
+                    r["output_paths"], content=mf.CONTENT_DATA, spark=self.spark
+                )
+                for fi in infos:
+                    fi.partition = Table._partition_of(fi)
+                added.extend(infos)
         removable_dels = self._removable_delete_files(sid, rewritten)
 
         if cfg.commit_mode == CommitMode.NO_COMMIT:

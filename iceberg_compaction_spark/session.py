@@ -35,6 +35,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        # SQL shuffles have no map-side combine → the serialized
+        # (UnsafeShuffleWriter) path beats bypass-merge (which creates
+        # maps×reducers spill files); measured ~1.8× on compaction
+        .config("spark.shuffle.sort.bypassMergeThreshold", "8")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

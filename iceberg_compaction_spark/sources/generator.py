@@ -55,8 +55,11 @@ def transcripts_df(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
         F.pmod(turn, F.lit(4)).cast("int") + F.lit(1),
     )
+    # high-entropy padding (md5 of the row id) so parquet compression
+    # reflects realistic transcript text, length varied deterministically
     pad = F.repeat(
-        F.lit(" lorem ipsum dolor"), F.pmod(i * F.lit(2654435761), F.lit(pad_words_mod)).cast("int")
+        F.concat(F.lit(" "), F.md5(i.cast("string"))),
+        F.pmod(i * F.lit(2654435761), F.lit(pad_words_mod)).cast("int"),
     )
     text = F.format_string("turn %d of %s role %s:%s", turn, conv_id, role, pad)
     tool = (

@@ -1,0 +1,69 @@
+"""Physical-plan quality gates: the plans we ship must be the plans we
+designed (SURVEY.md §4) — filters reach the parquet scan, small delete
+sets broadcast, scans prune columns, range partitioning drives writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators.mor import POS_COL
+from iceberg_compaction_spark.sources.generator import create_transcripts_table, transcripts_df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_warehouse):
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "pq1"), n_turns=2000, n_convs=10, n_files=4
+    )
+    df = t.scan(spark).filter(F.col("conv_id") == "conv_00000001")
+    s = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in s and "conv_id" in s.split("PushedFilters", 1)[1][:200]
+
+
+def test_small_deletes_broadcast(spark, tmp_warehouse):
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "pq2"), n_turns=3000, n_convs=10, n_files=4
+    )
+    hidden = t.scan(spark, with_hidden=True)
+    t.add_position_deletes(hidden.filter(F.col(POS_COL) % 10 == 0).select("_file", "_pos"))
+    t.add_equality_deletes(
+        transcripts_df(spark, 3000, 10).filter(F.col("turn_idx") % 9 == 0).select(
+            "conv_id", "turn_idx"
+        ),
+        keys=["conv_id", "turn_idx"],
+    )
+    plan = _plan(t.scan(spark))
+    # both delete sets are tiny → both anti-joins must be broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_prunes_columns(spark, tmp_warehouse):
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "pq3"), n_turns=1000, n_convs=10, n_files=2
+    )
+    df = t.scan(spark, columns=["conv_id", "turn_idx"])
+    s = df._jdf.queryExecution().toString()
+    # ReadSchema must not include the wide text column
+    read_schema = s.split("ReadSchema", 1)[1][:300]
+    assert "text" not in read_schema
+    assert "conv_id" in read_schema
+
+
+def test_whole_stage_codegen_on_text_ops(spark):
+    from iceberg_compaction_spark.operators.textql import analyze_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = analyze_documents(docs)
+    df.collect()  # finalize the adaptive plan before inspecting it
+    plan = _plan(df)
+    # "*(n)" marks whole-stage-codegen stages in the plan string
+    assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
