@@ -109,8 +109,15 @@ class CompactionResult:
     wall_s: float = 0.0
     lineage: list = field(default_factory=list)
 
+    @property
+    def space_savings(self) -> float:
+        """F8 (reference metrics.rs:205-212)."""
+        from iceberg_compaction_spark.functions.util import space_savings
+
+        return space_savings(self.input_bytes, self.output_bytes)
+
     def summary(self) -> dict:
-        return {
+        out = {
             k: getattr(self, k)
             for k in (
                 "run_id",
@@ -128,6 +135,8 @@ class CompactionResult:
                 "wall_s",
             )
         }
+        out["space_savings"] = self.space_savings
+        return out
 
 
 class CompactionRunner:

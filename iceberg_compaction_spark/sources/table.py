@@ -195,14 +195,27 @@ class Table:
                     out.append(json.load(f))
         return out
 
+    # manifest cache (C8, reference ManifestCache metadata.rs:110-260):
+    # manifests are immutable per snapshot id, so a bounded cache keyed
+    # by path is always coherent; expiry invalidates by existence check
+    _manifest_cache: dict = {}
+    _MANIFEST_CACHE_MAX = 64
+
     def manifest(self, snapshot_id: int | None = None) -> list[dict]:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
         if sid is None:
             return []
         path = self._manifest_path(sid)
         if not os.path.exists(path):
+            Table._manifest_cache.pop(path, None)
             raise ValidationError(f"snapshot {sid} expired or unknown")
-        return mf.read_manifest(path)
+        cached = Table._manifest_cache.get(path)
+        if cached is None:
+            cached = mf.read_manifest(path)
+            if len(Table._manifest_cache) >= Table._MANIFEST_CACHE_MAX:
+                Table._manifest_cache.pop(next(iter(Table._manifest_cache)))
+            Table._manifest_cache[path] = cached
+        return [dict(r) for r in cached]
 
     def files(self, snapshot_id: int | None = None, content: str | None = None) -> list[dict]:
         rows = self.manifest(snapshot_id)
