@@ -17,12 +17,49 @@ Determinism rules applied throughout:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_PKG_ZIP: str | None = None
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the engine package to executor Python workers. The driver
+    process may import us from an arbitrary cwd; UDF closures pickle
+    module *references*, so workers need the package importable —
+    ``addPyFile`` of a zip is the deployment-agnostic way (the same
+    mechanism as spark-submit --py-files)."""
+    global _PKG_ZIP
+    if getattr(spark, "_icemaint_pkg_added", False):
+        return
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(tempfile.mkdtemp(prefix="icemaint_pyfiles_"), "icemaint_pkg.zip")
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "iceberg_compaction_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        _PKG_ZIP = zpath
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already added in this context
+    spark._icemaint_pkg_added = True
 
 
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_pkg(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
