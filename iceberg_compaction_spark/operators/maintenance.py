@@ -53,11 +53,13 @@ def expire_snapshots(
     cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) + 1
     by_id = sorted(snaps, key=lambda s: s["snapshot_id"])
     newest = {s["snapshot_id"] for s in by_id[-max(retain_last, 1):]}
+    tagged = set(table.tags().values())
     retained = [
         s["snapshot_id"]
         for s in by_id
         if s["snapshot_id"] == current
         or s["snapshot_id"] in newest
+        or s["snapshot_id"] in tagged
         or s["timestamp_ms"] >= cutoff
     ]
     expired = [s["snapshot_id"] for s in by_id if s["snapshot_id"] not in retained]
@@ -164,6 +166,63 @@ def clean_dangling_deletes(spark: SparkSession, table: Table) -> int:
     if not removed:
         return table.current_snapshot_id
     return table.commit("maintenance", added=added, removed_paths=removed)
+
+
+def expire_data(
+    table: Table,
+    ts_column: str,
+    older_than_iso: str,
+) -> int:
+    """C12 expireData: drop whole data files whose max(ts_column) is
+    before the cutoff — a metadata-only delete (no rewrite), using the
+    per-file bounds the manifest already carries. Files straddling the
+    cutoff are kept (row-level retention would be a MERGE delete).
+    Returns the new snapshot id (current if nothing qualified)."""
+    import json as _json
+
+    removed = []
+    for r in table.files(content=mf.CONTENT_DATA):
+        st = _json.loads(r["stats_json"]).get(ts_column)
+        if st and st.get("max") is not None and str(st["max"]) < older_than_iso:
+            removed.append(r["path"])
+    if not removed:
+        return table.current_snapshot_id
+    return table.commit("expire_data", added=[], removed_paths=removed)
+
+
+def recommend_compaction(table: Table, config=None) -> dict:
+    """Trigger-threshold scoring (reference maintainer spec,
+    ``LEARNING_AND_ARCHITECTURE.md:147-165,206-221``): fragment ratio =
+    small files / data files, delete ratio = delete files / data files;
+    → none | minor (small-files bins) | major (files-with-deletes) |
+    full rewrite."""
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+
+    config = config or CompactionConfig()
+    rows = table.manifest()
+    data = [r for r in rows if r["content"] == mf.CONTENT_DATA]
+    deletes = [r for r in rows if r["content"] != mf.CONTENT_DATA]
+    if not data:
+        return {"action": "none", "fragment_ratio": 0.0, "delete_ratio": 0.0}
+    small = sum(1 for r in data if r["size_bytes"] <= config.small_file_threshold_bytes)
+    frag = small / len(data)
+    delr = len(deletes) / len(data)
+    if delr >= 0.3 or frag >= 0.8:
+        action, strategy = "full", SelectionStrategy.FULL
+    elif delr > 0:
+        action, strategy = "major", SelectionStrategy.FILES_WITH_DELETES
+    elif frag >= 0.25 and small >= 2:
+        action, strategy = "minor", SelectionStrategy.SMALL_FILES
+    else:
+        action, strategy = "none", None
+    return {
+        "action": action,
+        "strategy": strategy,
+        "fragment_ratio": round(frag, 4),
+        "delete_ratio": round(delr, 4),
+        "small_files": small,
+        "data_files": len(data),
+    }
 
 
 def rewrite_manifests(table: Table) -> int:

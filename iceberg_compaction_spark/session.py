@@ -30,6 +30,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (Spark's legacy default) carries no column statistics —
+        # TIMESTAMP_MICROS gives ts min/max in footers, enabling
+        # manifest bounds + predicate pushdown on time (Iceberg writes
+        # int64 micros too, SURVEY.md §1.2)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # metadata tables are tiny; don't over-split them
         .config("spark.sql.files.openCostInBytes", str(4 << 20))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

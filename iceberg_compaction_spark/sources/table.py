@@ -240,6 +240,39 @@ class Table:
         )
 
     # ------------------------------------------------------------------
+    # tags (autoCreateTags, reference maintainer catalog
+    # LEARNING_AND_ARCHITECTURE.md:173-179): named snapshot refs that
+    # retention must respect
+    def _tags_path(self) -> str:
+        return os.path.join(self._meta_dir, "tags.json")
+
+    def tags(self) -> dict:
+        try:
+            with open(self._tags_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None or not os.path.exists(self._snap_path(sid)):
+            raise ValidationError(f"cannot tag unknown snapshot {sid}")
+        tags = self.tags()
+        tags[name] = sid
+        tmp = self._tags_path() + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_path())
+
+    def untag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        tmp = self._tags_path() + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_path())
+
+    # ------------------------------------------------------------------
     # commit protocol
     def _lock(self):
         lock_path = os.path.join(self._meta_dir, "commit.lock")

@@ -1,0 +1,72 @@
+"""expireData, snapshot tags in retention, trigger recommendation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.config import SelectionStrategy
+from iceberg_compaction_spark.errors import ValidationError
+from iceberg_compaction_spark.operators.maintenance import (
+    expire_data,
+    expire_snapshots,
+    recommend_compaction,
+)
+from iceberg_compaction_spark.sources.generator import (
+    TRANSCRIPT_DDL,
+    create_transcripts_table,
+    transcripts_df,
+)
+from iceberg_compaction_spark.sources.table import Table
+
+
+def test_expire_data_drops_old_files(spark, tmp_warehouse):
+    t = Table.create(os.path.join(tmp_warehouse, "ed"), TRANSCRIPT_DDL)
+    old = transcripts_df(spark, 1000, 10, base_ts=1_600_000_000)  # 2020
+    new = transcripts_df(spark, 1000, 10, base_ts=1_700_000_000)  # 2023
+    t.append_dataframe(old.coalesce(1))
+    t.append_dataframe(new.coalesce(1))
+    sid = expire_data(t, "ts", "2022-01-01")
+    assert sid == t.current_snapshot_id
+    assert t.scan(spark).count() == 1000
+    assert t.scan(spark).agg(F.min("ts")).first()[0].year >= 2023
+    # idempotent
+    assert expire_data(t, "ts", "2022-01-01") == sid
+
+
+def test_tags_protect_snapshots_from_expiry(spark, tmp_warehouse):
+    t = Table.create(os.path.join(tmp_warehouse, "tg"), TRANSCRIPT_DDL)
+    t.append_dataframe(transcripts_df(spark, 100, 5))  # snap 1
+    t.append_dataframe(transcripts_df(spark, 50, 5))   # snap 2
+    t.append_dataframe(transcripts_df(spark, 25, 5))   # snap 3
+    t.tag("v1", snapshot_id=1)
+    res = expire_snapshots(t, retain_last=1)
+    assert 1 not in res.expired_snapshot_ids  # tagged → kept
+    assert 2 in res.expired_snapshot_ids
+    assert t.scan(spark, snapshot_id=1).count() == 100
+    with pytest.raises(ValidationError):
+        t.scan(spark, snapshot_id=2)
+    # untag → next expiry removes it
+    t.untag("v1")
+    res2 = expire_snapshots(t, retain_last=1)
+    assert 1 in res2.expired_snapshot_ids
+
+
+def test_recommend_compaction_triggers(spark, tmp_warehouse):
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "rc"), n_turns=2000, n_convs=10, n_files=8
+    )
+    rec = recommend_compaction(t)
+    assert rec["action"] == "full"  # everything is tiny → fragment ratio 1.0
+    assert rec["fragment_ratio"] == 1.0
+
+    # deletes present → at least major
+    t.add_equality_deletes(
+        transcripts_df(spark, 2000, 10).limit(5).select("conv_id", "turn_idx"),
+        keys=["conv_id", "turn_idx"],
+    )
+    rec2 = recommend_compaction(t)
+    assert rec2["action"] in ("major", "full")
+    assert rec2["delete_ratio"] > 0
