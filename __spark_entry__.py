@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_dedup": Q.q_merge_upsert_dedup,
         "salted_aggregation": Q.q_salted_aggregation,
         "pricing_summary": Q.q_pricing_summary,
+        "delete_counts": Q.q_delete_counts,
+        "sessionization": Q.q_sessionization,
+        "hot_keys": Q.q_hot_keys,
         "zorder_key": Q.q_zorder_key,
         "hilbert_key": Q.q_hilbert_key,
         "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
@@ -78,6 +81,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_dedup": Q.MERGE_UPSERT_DEDUP_SQL,
         "salted_aggregation": Q.SALTED_AGGREGATION_SQL,
         "pricing_summary": Q.PRICING_SUMMARY_SQL,
+        "delete_counts": Q.DELETE_COUNTS_SQL,
+        "sessionization": Q.SESSIONIZATION_SQL,
+        "hot_keys": Q.HOT_KEYS_SQL,
         "zorder_key": Q.ZORDER_KEY_SQL,
         # hilbert_key: rows-only (iterative bit transform, no SQL form)
         "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,

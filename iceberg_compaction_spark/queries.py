@@ -472,6 +472,102 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_delete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 derivation: per-data-file applicable-delete count — an
+    equality delete applies to every file with a lower sequence number
+    (file_selection.rs:103-114 association, SURVEY.md P3)."""
+    _utc(spark)
+    m = _manifest_df(spark, sf_dir).withColumn(
+        "seq", (F.col("file_id") % 4).cast("long")
+    )
+    o = _t(spark, sf_dir, "orders")
+    dels = (
+        o.filter(F.col("o_orderkey") % 750 == 0)
+        .select((F.col("o_orderkey") % 6).cast("long").alias("dseq"))
+    )
+    f, d = m.alias("f"), dels.alias("d")
+    joined = f.join(d, F.col("d.dseq") > F.col("f.seq"), "left")
+    return (
+        joined.groupBy("f.file_id", "f.seq")
+        .agg(F.count("d.dseq").alias("delete_count"))
+        .select(F.col("file_id"), F.col("seq"), "delete_count")
+    )
+
+
+DELETE_COUNTS_SQL = f"""
+WITH manifest AS ({_MANIFEST_CTE}),
+m AS (SELECT file_id, CAST(file_id % 4 AS BIGINT) AS seq FROM manifest),
+dels AS (SELECT CAST(o_orderkey % 6 AS BIGINT) AS dseq FROM orders WHERE o_orderkey % 750 = 0)
+SELECT m.file_id, m.seq, count(d.dseq) AS delete_count
+FROM m LEFT JOIN dels d ON d.dseq > m.seq
+GROUP BY m.file_id, m.seq
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation sessionization: a new session starts after a >30min
+    gap per user — lag + running sum of gap indicators (the classic
+    window pattern; turns-per-session is a core transcript rollup)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+    )
+
+
+SESSIONIZATION_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sess AS (
+  SELECT *, sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_epoch,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_epoch
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew detection: keys above a row-share threshold (the input to
+    the salting policy, functions/salting.py::hot_keys)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    total = ev.count()
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") * 1000 >= F.lit(total))  # share ≥ 0.1%
+        .select("user_id", "n")
+    )
+
+
+HOT_KEYS_SQL = """
+SELECT user_id, count(*) AS n
+FROM events GROUP BY user_id
+HAVING count(*) * 1000 >= (SELECT count(*) FROM events)
+"""
+
+
 # ======================================================================
 # clustering keys (M4)
 def _bit_interleave_sql(xcol: str, ycol: str, bits: int = 8) -> str:
