@@ -263,6 +263,9 @@ def _write_bench_md(queries: dict, lo: dict, hi: dict, efficiency: float, thr: d
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--scale-worker":
+        if len(sys.argv) < 4:
+            print("usage: bench.py --scale-worker CORES TURNS", file=sys.stderr)
+            raise SystemExit(2)
         cores, turns = int(sys.argv[2]), int(sys.argv[3])
         print(json.dumps(_scale_job(cores, turns)))
         return
