@@ -34,7 +34,6 @@ and commits the union.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import uuid
@@ -51,7 +50,7 @@ from iceberg_compaction_spark.config import CommitMode, CompactionConfig, Groupi
 from iceberg_compaction_spark.errors import ValidationError
 from iceberg_compaction_spark.metrics import GLOBAL
 from iceberg_compaction_spark.functions.clustering import CLUSTER_COL, add_cluster_key
-from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL
+from iceberg_compaction_spark.operators.mor import FILE_COL
 from iceberg_compaction_spark.plans.packer import plan_bins_df
 from iceberg_compaction_spark.plans.parallelism import calculate_parallelism
 from iceberg_compaction_spark.plans.selection import select_files

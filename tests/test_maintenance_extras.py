@@ -7,7 +7,6 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from iceberg_compaction_spark.config import SelectionStrategy
 from iceberg_compaction_spark.errors import ValidationError
 from iceberg_compaction_spark.operators.maintenance import (
     expire_data,
