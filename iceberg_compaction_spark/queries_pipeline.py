@@ -354,10 +354,16 @@ def q_transcripts_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> Data
             "text",
             F.unix_timestamp("ts").alias("ts_epoch"),
         )
-        rows = out.collect()  # materialize before the warehouse vanishes
-        return spark.createDataFrame(rows, out.schema)
+        # materialize outside the (about-to-vanish) warehouse; parquet
+        # round-trip keeps the result executor-side instead of hauling
+        # every row through the driver
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
     finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+        # keep tdir: the caller consumes the returned DataFrame lazily;
+        # the ~MB-scale result dir lives in tmp until the OS reaps it
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL = f"""
