@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_counts": Q.q_delete_counts,
         "sessionization": Q.q_sessionization,
         "hot_keys": Q.q_hot_keys,
+        "topk_per_conversation": Q.q_topk_per_conversation,
+        "corpus_filter": QP.q_corpus_filter,
         "zorder_key": Q.q_zorder_key,
         "hilbert_key": Q.q_hilbert_key,
         "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
@@ -84,6 +86,8 @@ def oracle_sql() -> dict[str, str]:
         "delete_counts": Q.DELETE_COUNTS_SQL,
         "sessionization": Q.SESSIONIZATION_SQL,
         "hot_keys": Q.HOT_KEYS_SQL,
+        "topk_per_conversation": Q.TOPK_PER_CONVERSATION_SQL,
+        "corpus_filter": QP.CORPUS_FILTER_SQL,
         "zorder_key": Q.ZORDER_KEY_SQL,
         # hilbert_key: rows-only (iterative bit transform, no SQL form)
         "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,

@@ -568,6 +568,30 @@ HAVING count(*) * 1000 >= (SELECT count(*) FROM events)
 """
 
 
+def q_topk_per_conversation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 highest-value events per conversation (window top-k — the
+    per-conversation rollup shape transcripts pipelines use for
+    best-turn sampling)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value_r"), "rnk")
+    )
+
+
+TOPK_PER_CONVERSATION_SQL = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events)
+SELECT user_id, event_id, round(value, 4) AS value_r, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 # ======================================================================
 # clustering keys (M4)
 def _bit_interleave_sql(xcol: str, ycol: str, bits: int = 8) -> str:

@@ -287,6 +287,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data filter, composed from the text
+    operators: keep documents that pass quality, language, and
+    exact-dup gates in one pass — the shape a 100 TB corpus sweep runs
+    at scan speed."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.textql import analyze_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = analyze_documents(docs)
+    w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    return (
+        enriched.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("quality") >= 0.5) & (F.col("tokens_ws") >= 10))
+        .select("doc_id", "lang", "tokens_ws", "quality")
+    )
+
+
+CORPUS_FILTER_SQL = f"""
+WITH enriched AS ({TEXT_ANALYSIS_SQL.replace('SELECT doc_id,', 'SELECT doc_id, lang,')}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM enriched)
+SELECT doc_id, lang, tokens_ws, quality
+FROM ranked WHERE rn = 1 AND quality >= 0.5 AND tokens_ws >= 10
+"""
+
+
 # ======================================================================
 # flagship: full engine round-trip
 def build_transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
