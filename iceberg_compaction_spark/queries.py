@@ -130,7 +130,7 @@ ANTI JOIN dels x ON d.user_id = x.user_id AND d.seq < x.dseq
 # planning over a modeled file manifest (P2, A1/A2, A6, C1, C3)
 _MANIFEST_CTE = """
 SELECT l_orderkey AS file_id,
-       sum(l_partkey % 997 * 37 + l_linenumber) AS size_bytes,
+       CAST(sum(l_partkey % 997 * 37 + l_linenumber) AS BIGINT) AS size_bytes,
        count(*) AS record_count,
        CAST(l_orderkey % 7 AS BIGINT) AS partition_id
 FROM lineitem GROUP BY l_orderkey
@@ -186,7 +186,7 @@ WITH manifest AS ({_MANIFEST_CTE})
 SELECT partition_id,
        CAST(floor(size_bytes / 50000) * 50000 AS BIGINT) AS size_bucket,
        count(*) AS file_count,
-       sum(size_bytes) AS total_bytes,
+       CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
        round(avg(size_bytes), 2) AS avg_bytes
 FROM manifest GROUP BY 1, 2
 """
@@ -243,9 +243,9 @@ def q_group_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUP_TOTALS_SQL = f"""
 WITH manifest AS ({_MANIFEST_CTE})
 SELECT partition_id,
-       sum(size_bytes) AS total_size_bytes,
+       CAST(sum(size_bytes) AS BIGINT) AS total_size_bytes,
        count(*) AS data_file_count,
-       sum(record_count) AS total_records,
+       CAST(sum(record_count) AS BIGINT) AS total_records,
        max(size_bytes) AS max_file_bytes,
        min(size_bytes) AS min_file_bytes
 FROM manifest GROUP BY partition_id
@@ -279,7 +279,7 @@ def q_parallelism_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PARALLELISM_FORMULA_SQL = f"""
 WITH manifest AS ({_MANIFEST_CTE}),
-g AS (SELECT partition_id, sum(size_bytes) AS bytes, count(*) AS files
+g AS (SELECT partition_id, CAST(sum(size_bytes) AS BIGINT) AS bytes, count(*) AS files
       FROM manifest GROUP BY partition_id)
 SELECT partition_id, bytes, files,
   CAST(least(greatest(greatest(ceil(bytes / 1000000.0), ceil(files / 100.0)), 1), 16) AS BIGINT)
@@ -307,7 +307,7 @@ def q_delete_file_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELETE_FILE_DEDUP_SQL = """
 WITH refs AS (SELECT l_orderkey % 500 AS delete_path_id FROM lineitem)
 SELECT count(*) AS distinct_delete_files,
-       sum(delete_path_id) AS path_id_sum
+       CAST(sum(delete_path_id) AS BIGINT) AS path_id_sum
 FROM (SELECT DISTINCT delete_path_id FROM refs)
 """
 
@@ -333,7 +333,7 @@ def q_commit_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMMIT_SUMMARY_ROLLUP_SQL = """
 SELECT o_orderpriority,
        count(*) AS tasks,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS succeeded,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS succeeded,
        round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2)
          AS bytes_rewritten
 FROM orders GROUP BY o_orderpriority
@@ -536,9 +536,9 @@ WITH marked AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
 sess AS (
-  SELECT *, sum(new_sess) OVER (
+  SELECT *, CAST(sum(new_sess) OVER (
       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked)
 SELECT user_id, session_id, count(*) AS n_events,
        min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_epoch,

@@ -50,6 +50,59 @@ def _rows_to_multiset(cols, rows):
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# The driver's value-hash is representation-sensitive: DuckDB sum(BIGINT)
+# returns HUGEINT -> Arrow decimal128(38,0), which hash-mismatches Spark's
+# int64 even when values are identical (round-1 lesson: 8 red rows). So we
+# compare *type classes* per column, with decimal as its own class, to
+# predict the driver before it runs.
+_DUCK_INTS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _duck_type_class(t: str) -> str:
+    t = t.upper()
+    if t == "HUGEINT" or t == "UHUGEINT" or t.startswith("DECIMAL"):
+        return "decimal"
+    if t in _DUCK_INTS:
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "string"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t == "BLOB":
+        return "binary"
+    return "nested"
+
+
+def _spark_type_class(dt_obj) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt_obj, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt_obj, (T.DoubleType, T.FloatType)):
+        return "float"
+    if isinstance(dt_obj, T.DecimalType):
+        return "decimal"
+    if isinstance(dt_obj, T.BooleanType):
+        return "bool"
+    if isinstance(dt_obj, T.StringType):
+        return "string"
+    if isinstance(dt_obj, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt_obj, T.DateType):
+        return "date"
+    if isinstance(dt_obj, T.BinaryType):
+        return "binary"
+    return "nested"
+
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name):
@@ -58,6 +111,10 @@ def test_query_matches_oracle(spark, name):
     spark_rows = [tuple(r) for r in qdf.collect()]
 
     con = _duck()
+    duck_types = {
+        r[0]: r[1]
+        for r in con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    }
     res = con.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -66,6 +123,13 @@ def test_query_matches_oracle(spark, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    spark_classes = {f.name: _spark_type_class(f.dataType) for f in qdf.schema.fields}
+    for c in sorted(spark_cols):
+        assert spark_classes[c] == _duck_type_class(duck_types[c]), (
+            f"{name}.{c}: type class mismatch spark={spark_classes[c]} "
+            f"duck={duck_types[c]} — the driver's value hash WILL differ; "
+            f"CAST the oracle column (e.g. HUGEINT sums -> BIGINT)"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
