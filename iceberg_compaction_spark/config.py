@@ -63,9 +63,11 @@ class CompactionConfig:
     # Clustering: None | "linear" | "zorder" | "hilbert"
     clustering: Optional[str] = "linear"
     cluster_columns: tuple = ()
-    # Skew: salt hot partition-keys into this many buckets (1 = off).
-    salt_buckets: int = 1
-    hot_key_threshold: float = 0.10  # key is "hot" above this row share
+    # Skew note: the rewrite path needs no salt knob — range keys
+    # include the tiebreaker column (e.g. turn_idx), so hot keys split
+    # across output partitions naturally, and AQE skew-join covers the
+    # delete joins. Aggregation-side salting lives in
+    # functions/salting.py with its own buckets parameter.
 
     # --- commit retry (reference crates/common/src/retry.rs:14-101) ---
     commit_max_retries: int = 3

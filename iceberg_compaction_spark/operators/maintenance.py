@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_compaction_spark.errors import ValidationError
-from iceberg_compaction_spark.operators.mor import FILE_COL
+from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL
 from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources import scan as scan_mod
 from iceberg_compaction_spark.sources.table import Table
@@ -139,18 +139,19 @@ def clean_dangling_deletes(spark: SparkSession, table: Table) -> int:
 
     if pos_rows:
         pos_df = scan_mod.read_position_deletes(spark, [r["path"] for r in pos_rows])
-        live_refs = pos_df.filter(F.col(FILE_COL).isin(sorted(data_paths)))
+        # join against a paths DataFrame, not a 10^5-element In-literal:
+        # the live-path set is manifest-sized metadata, broadcastable
+        live_df = spark.createDataFrame(
+            [(p,) for p in sorted(data_paths)], f"{FILE_COL} string"
+        )
+        live_refs = pos_df.join(F.broadcast(live_df), on=FILE_COL, how="left_semi")
         n_total = pos_df.count()
         n_live = live_refs.count()
         if n_live < n_total:
             removed += [r["path"] for r in pos_rows]
             if n_live > 0:
-                import uuid
-
-                out_dir = os.path.join(table.deletes_dir, "pos-" + uuid.uuid4().hex[:12])
-                live_refs.coalesce(1).write.parquet(out_dir)
-                infos = mf.collect_file_infos(
-                    mf.list_parquet_files(out_dir), content=mf.CONTENT_POS_DEL
+                infos = table.write_delete_files(
+                    live_refs, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL
                 )
                 # keep original ordering semantics: position deletes are
                 # seq-agnostic, but preserve the max source seq anyway

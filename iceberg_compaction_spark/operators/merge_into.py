@@ -68,13 +68,11 @@ def merge_into(
 
 
 def table_write_eq_delete(table: Table, keys_df: DataFrame, keys: Sequence[str]):
-    import os
-    import uuid
-
     from iceberg_compaction_spark.sources import manifest as mf
 
-    out_dir = os.path.join(table.deletes_dir, "eq-" + uuid.uuid4().hex[:12])
-    keys_df.select(*keys).coalesce(1).write.parquet(out_dir)
-    return mf.collect_file_infos(
-        mf.list_parquet_files(out_dir), content=mf.CONTENT_EQ_DEL, equality_ids=list(keys)
+    # size-based fan-out (Table.DELETE_ROWS_PER_FILE): a MERGE with a
+    # 10^9-row source writes ~128 eq-delete files in parallel instead of
+    # funnelling the whole delete set through one task
+    return table.write_delete_files(
+        keys_df, list(keys), mf.CONTENT_EQ_DEL, equality_ids=list(keys)
     )

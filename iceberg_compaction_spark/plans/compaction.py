@@ -246,19 +246,21 @@ class CompactionRunner:
                 eq_groups.append((keys, eq_df, small))
         return pos_df, broadcast_pos, eq_groups
 
-    def _rewrite_bin(self, run_id: str, snapshot_id: int, b: BinPlan, seq_by_path: dict) -> dict:
-        cfg = self.config
-        t0 = time.time()
-        # C3's executor_parallelism, realized: size the scan splits so
-        # the bin fans out to ≈executor_parallelism map tasks (Spark's
-        # default 128 MB split would coalesce a small-file bin into a
-        # handful of tasks and strand cores; the reference sets
-        # target_partitions the same way, mod.rs:93-95)
-        split = max(
+    @staticmethod
+    def _split_bytes(b: BinPlan) -> int:
+        """C3's executor_parallelism, realized: size the scan splits so
+        the bin fans out to ≈executor_parallelism map tasks (Spark's
+        default 128 MB split would coalesce a small-file bin into a
+        handful of tasks and strand cores; the reference sets
+        target_partitions the same way, mod.rs:93-95)."""
+        return max(
             4 << 20,
             min(128 << 20, b.total_bytes // max(b.executor_parallelism, 1) + 1),
         )
-        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
+    def _rewrite_bin(self, run_id: str, snapshot_id: int, b: BinPlan, seq_by_path: dict) -> dict:
+        cfg = self.config
+        t0 = time.time()
         need_eq = bool(seq_by_path)
         pos_df, bpos, eq_groups = self._delete_frames(snapshot_id, b.paths)
         df = scan_mod.read_data_files(
@@ -299,6 +301,14 @@ class CompactionRunner:
         rows_per_file = int(cfg.records_per_file(avg_row) * 1.5)
         safe = b.bin.replace("/", "_").replace("#", "_")
         out_dir = os.path.join(self.table.data_dir, f"run-{run_id}", f"bin-{safe}")
+        # crash safety mid-bin: a crash during the write (or between the
+        # write and its checkpoint row) leaves a partial dir; this bin
+        # has no 'done' row (we only run bins that lack one), so the
+        # stale dir is re-creatable state — clear it and rewrite
+        if os.path.exists(out_dir):
+            import shutil
+
+            shutil.rmtree(out_dir)
         tw = time.time()
         (
             df.write.mode("error")
@@ -350,22 +360,29 @@ class CompactionRunner:
 
         pos_rows = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
         if pos_rows:
-            remaining_set = {r["path"] for r in remaining}
-            refs = (
-                scan_mod.read_position_deletes(self.spark, [r["path"] for r in pos_rows])
-                .select(
+            pos_paths = [r["path"] for r in pos_rows]
+            remaining_paths = sorted(r["path"] for r in remaining)
+            if not remaining_paths:
+                removable.extend(pos_paths)
+            else:
+                # executor-side: the per-row reference set never reaches
+                # the driver — only one aggregate row per delete *file*
+                # (bounded by the manifest, not by delete-row count)
+                refs = scan_mod.read_position_deletes(self.spark, pos_paths).select(
                     F.col(FILE_COL).alias("ref"),
-                    F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias("delfile"),
+                    scan_mod.norm_file_path(F.input_file_name()).alias("delfile"),
                 )
-                .distinct()
-                .collect()
-            )
-            by_del: dict[str, set] = {}
-            for r in refs:
-                by_del.setdefault(r["delfile"], set()).add(r["ref"])
-            for p in (r["path"] for r in pos_rows):
-                if not (by_del.get(p, set()) & remaining_set):
-                    removable.append(p)
+                rem_df = self.spark.createDataFrame(
+                    [(p,) for p in remaining_paths], "ref string"
+                )
+                alive = {
+                    r["delfile"]
+                    for r in refs.join(F.broadcast(rem_df), on="ref", how="left_semi")
+                    .select("delfile")
+                    .distinct()
+                    .collect()
+                }
+                removable.extend(p for p in pos_paths if p not in alive)
 
         min_remaining_seq = min((r["sequence_number"] for r in remaining), default=None)
         for r in (r for r in man if r["content"] == mf.CONTENT_EQ_DEL):
@@ -417,13 +434,31 @@ class CompactionRunner:
             seqs = {p: seq_all[p] for p in b.paths} if eq_present else {}
             return self._rewrite_bin(run_id, sid, b, seqs)
 
-        if parallel_bins > 1 and len(pending) > 1:
-            # concurrent Spark jobs on one session — the scheduler
-            # interleaves stages (replaces the reference's worker pool)
-            with ThreadPoolExecutor(max_workers=parallel_bins) as ex:
-                rows += list(ex.map(run_bin, pending))
-        else:
-            rows += [run_bin(b) for b in pending]
+        # One scan-split size for the whole run, set before any bin and
+        # restored after: per-bin session-conf mutation raced when bins
+        # ran on concurrent driver threads (one bin's split size applied
+        # to another's scan) and leaked into later queries. The smallest
+        # per-bin split is safe for every bin — extra map tasks are
+        # cheap; stranded cores are not.
+        split = min((self._split_bytes(b) for b in pending), default=None)
+        conf_key = "spark.sql.files.maxPartitionBytes"
+        prev_split = self.spark.conf.get(conf_key, None)
+        if split is not None:
+            self.spark.conf.set(conf_key, str(split))
+        try:
+            if parallel_bins > 1 and len(pending) > 1:
+                # concurrent Spark jobs on one session — the scheduler
+                # interleaves stages (replaces the reference's worker pool)
+                with ThreadPoolExecutor(max_workers=parallel_bins) as ex:
+                    rows += list(ex.map(run_bin, pending))
+            else:
+                rows += [run_bin(b) for b in pending]
+        finally:
+            if split is not None:
+                if prev_split is None:
+                    self.spark.conf.unset(conf_key)
+                else:
+                    self.spark.conf.set(conf_key, prev_split)
 
         res.bins_executed = len(pending)
         res.bins_skipped = len(done)
@@ -452,6 +487,9 @@ class CompactionRunner:
                 added=added,
                 removed_paths=sorted(rewritten) + removable_dels,
                 expected_snapshot_id=sid,
+                retries=cfg.commit_max_retries,
+                backoff_base_s=cfg.commit_backoff_base_s,
+                backoff_cap_s=cfg.commit_backoff_cap_s,
             )
 
         res.input_files = sum(r["input_files"] for r in rows)

@@ -36,8 +36,10 @@ def with_delete_counts(spark: SparkSession, files_df: DataFrame) -> DataFrame:
     if pos_paths:
         refs = (
             scan_mod.read_position_deletes(spark, pos_paths)
-            .select(F.col(FILE_COL).alias("path"), F.input_file_name().alias("_del_file"))
-            .withColumn("_del_file", F.regexp_replace("_del_file", "^file:(//)?", ""))
+            .select(
+                F.col(FILE_COL).alias("path"),
+                scan_mod.norm_file_path(F.input_file_name()).alias("_del_file"),
+            )
             .groupBy("path")
             .agg(F.countDistinct("_del_file").alias("pos_delete_count"))
         )

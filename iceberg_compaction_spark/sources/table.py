@@ -308,6 +308,9 @@ class Table:
         removed_paths: Sequence[str] = (),
         expected_snapshot_id: int | None = ...,
         retries: int = 5,
+        backoff_base_s: float = 0.05,
+        backoff_cap_s: float = 30.0,
+        extra_summary: dict | None = None,
     ) -> int:
         """Atomically produce the next snapshot.
 
@@ -356,6 +359,7 @@ class Table:
                         "added_records": sum(r["record_count"] for r in added_rows),
                         "removed_files": len(removed),
                         "total_files": len(kept) + len(added_rows),
+                        **(extra_summary or {}),
                     },
                 }
                 with open(self._snap_path(sid), "w") as f:
@@ -366,7 +370,13 @@ class Table:
                 os.replace(tmp, self._current_path())  # atomic CAS point
                 return sid
 
-        return with_retry(attempt, retries=retries, retry_on=(LockBusy,))
+        return with_retry(
+            attempt,
+            retries=retries,
+            base_s=backoff_base_s,
+            cap_s=backoff_cap_s,
+            retry_on=(LockBusy,),
+        )
 
     # ------------------------------------------------------------------
     # writes
@@ -417,23 +427,49 @@ class Table:
         infos = self.write_data_files(df, max_records_per_file)
         return self.commit("append", added=infos)
 
+    # Rows per delete *file*: deletes are narrow (a path + long, or a
+    # few key columns), so 8M rows ≈ tens of MB — small enough to
+    # broadcast-join, large enough that a 10^9-row MERGE source yields
+    # ~128 files instead of funnelling through one task (the old
+    # coalesce(1) was a single-task scale ceiling).
+    DELETE_ROWS_PER_FILE = 8_000_000
+
+    def write_delete_files(
+        self,
+        df: DataFrame,
+        cols: Sequence[str],
+        content: str,
+        equality_ids: Sequence[str] = (),
+        rows_per_file: int | None = None,
+    ) -> list[mf.FileInfo]:
+        """Write a delete set as ceil(rows / rows_per_file) files and
+        return uncommitted manifest entries. The write parallelism
+        follows the delete-set size, never a fixed single task."""
+        rows_per_file = rows_per_file or Table.DELETE_ROWS_PER_FILE
+        prefix = "pos-" if content == mf.CONTENT_POS_DEL else "eq-"
+        out_dir = os.path.join(self.deletes_dir, prefix + uuid.uuid4().hex[:12])
+        sel = df.select(*cols)
+        n_rows = sel.count()
+        n_files = max(1, -(-n_rows // rows_per_file))
+        sel.repartition(n_files).write.parquet(out_dir)
+        return mf.collect_file_infos(
+            mf.list_parquet_files(out_dir),
+            content=content,
+            equality_ids=list(equality_ids),
+            spark=df.sparkSession,
+        )
+
     def add_position_deletes(self, df: DataFrame) -> int:
         """df: (_file string, _pos long). Writes a position-delete file
         set + commits a ``delete`` snapshot."""
-        out_dir = os.path.join(self.deletes_dir, "pos-" + uuid.uuid4().hex[:12])
-        df.select(FILE_COL, POS_COL).coalesce(1).write.parquet(out_dir)
-        infos = mf.collect_file_infos(
-            mf.list_parquet_files(out_dir), content=mf.CONTENT_POS_DEL
-        )
+        infos = self.write_delete_files(df, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL)
         return self.commit("delete", added=infos)
 
     def add_equality_deletes(self, df: DataFrame, keys: Sequence[str]) -> int:
         """df: key columns. The file's sequence number (stamped at
         commit) orders it against data files: only older data dies."""
-        out_dir = os.path.join(self.deletes_dir, "eq-" + uuid.uuid4().hex[:12])
-        df.select(*keys).coalesce(1).write.parquet(out_dir)
-        infos = mf.collect_file_infos(
-            mf.list_parquet_files(out_dir), content=mf.CONTENT_EQ_DEL, equality_ids=keys
+        infos = self.write_delete_files(
+            df, list(keys), mf.CONTENT_EQ_DEL, equality_ids=keys
         )
         return self.commit("delete", added=infos)
 

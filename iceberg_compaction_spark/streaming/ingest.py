@@ -19,15 +19,55 @@ from pyspark.sql import DataFrame
 from iceberg_compaction_spark.sources.table import Table
 
 
-def stream_append(stream_df: DataFrame, table: Table, checkpoint_dir: str, trigger: dict | None = None):
-    """Attach a streaming writer that commits every micro-batch as one
-    snapshot. Returns the StreamingQuery. ``trigger`` defaults to
-    availableNow (drain-and-stop; right for incremental ingest jobs)."""
+def make_idempotent_batch_writer(table: Table, checkpoint_dir: str):
+    """foreachBatch callable committing each micro-batch exactly once:
+    (stream_key, batch_id) rides in the snapshot summary; batch ids at
+    or below the last committed one are replays and are skipped. The
+    last-committed id is read from snapshot history once (restart) and
+    tracked in memory afterwards."""
+    import hashlib
+    import os
+
+    stream_key = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+    def _last_committed() -> int:
+        last = -1
+        for s in table.snapshots():
+            sm = s.get("summary", {})
+            if sm.get("stream_key") == stream_key:
+                last = max(last, int(sm.get("stream_batch_id", -1)))
+        return last
+
+    state = {"last": _last_committed()}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last"]:
+            return  # replayed micro-batch: already a committed snapshot
         if batch_df.isEmpty():
             return
-        table.append_dataframe(batch_df)
+        infos = table.write_data_files(batch_df)
+        table.commit(
+            "append",
+            added=infos,
+            extra_summary={"stream_key": stream_key, "stream_batch_id": int(batch_id)},
+        )
+        state["last"] = batch_id
+
+    return write_batch
+
+
+def stream_append(stream_df: DataFrame, table: Table, checkpoint_dir: str, trigger: dict | None = None):
+    """Attach a streaming writer that commits every micro-batch as one
+    snapshot, exactly once. Returns the StreamingQuery. ``trigger``
+    defaults to availableNow (drain-and-stop; right for incremental
+    ingest jobs).
+
+    Idempotence: foreachBatch is at-least-once — a micro-batch replayed
+    after a failure between the table commit and the streaming
+    checkpoint would otherwise append twice. Each commit records
+    (stream_key, batch_id) in its snapshot summary (the Iceberg
+    streaming-sink pattern); replayed batch ids are skipped."""
+    write_batch = make_idempotent_batch_writer(table, checkpoint_dir)
 
     writer = (
         stream_df.writeStream.outputMode("append")
