@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": Q.q_zorder_key,
         "hilbert_key": Q.q_hilbert_key,
         "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
+        "pruned_range_scan": QP.q_pruned_range_scan,
         # --- training-data pipeline ---
         "exact_dedup": QP.q_exact_dedup,
         "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
@@ -89,8 +90,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_conversation": Q.TOPK_PER_CONVERSATION_SQL,
         "corpus_filter": QP.CORPUS_FILTER_SQL,
         "zorder_key": Q.ZORDER_KEY_SQL,
-        # hilbert_key: rows-only (iterative bit transform, no SQL form)
+        "hilbert_key": Q.HILBERT_KEY_SQL,
         "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,
+        "pruned_range_scan": QP.PRUNED_RANGE_SCAN_SQL,
         "exact_dedup": QP.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,

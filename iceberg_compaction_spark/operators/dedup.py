@@ -55,16 +55,34 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over shared shingles: candidate pairs are
     generated ONLY for documents sharing ≥1 shingle (equi-join on the
     shingle), then |∩| / (|A|+|B|−|∩|). Returns (id_a < id_b, jaccard).
-    """
+
+    ``max_shingle_df``: document-frequency cap for candidate
+    generation. A shingle occurring in 10^6 documents would alone
+    create ~10^12 candidate pairs; capping drops such stopword-grams
+    from the *join side only* (each surviving shingle contributes at
+    most df·(df−1)/2 ≤ K² pairs). Sizes still count every shingle, so
+    with the cap off (default, oracle mode) jaccard is exact; with it
+    on, common counts are a lower bound — the standard trade for
+    bounded fan-out at corpus scale."""
     sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    joinable = sh
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        joinable = sh.join(
+            dfreq.filter(F.col("_df") <= max_shingle_df).select("shingle"), "shingle"
+        )
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -90,12 +108,15 @@ def ngram_jaccard_dedup(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Drop any document having a Jaccard-similar document with a
     smaller id (single-linkage approximated one level deep —
     deterministic and oracle-expressible; a full transitive closure
     would iterate this to fixpoint)."""
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, n).filter(F.col("jaccard") >= threshold)
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, max_shingle_df).filter(
+        F.col("jaccard") >= threshold
+    )
     victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(victims, id_col, "left_anti")
 
@@ -109,17 +130,32 @@ def minhash_signatures(
     n: int = 3,
     bands: int = 8,
     rows_per_band: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, band, signature): per band, the signature is the concat of
-    ``rows_per_band`` min-hashes; hash_i(shingle) = md5(i || shingle)
-    (salted md5 keeps the oracle reproducible; lexicographic min of hex
-    == numeric min of the underlying 128-bit value)."""
+    ``rows_per_band`` min-hashes; hash_i(shingle) = hash(i || shingle).
+
+    ``hash_fn``: ``"md5"`` keeps an external oracle reproducible
+    (DuckDB's md5 is bit-identical; lexicographic min of hex == numeric
+    min of the underlying 128-bit value). ``"xxhash64"`` is the
+    production flag — one 64-bit JVM hash instead of a 128-bit digest
+    per (slot, shingle), same LSH semantics, materially less CPU on the
+    hot explode→agg path."""
     sh = shingles(df, id_col, text_col, n)
+
+    def _h(i: int):
+        salted = F.concat(F.lit(f"{i}|"), F.col("shingle"))
+        if hash_fn == "xxhash64":
+            # fixed-width hex so lexicographic min == numeric min of
+            # the unsigned 64-bit value
+            return F.lpad(F.hex(F.xxhash64(salted)), 16, "0")
+        return F.md5(salted)
+
     aggs = []
     for b in range(bands):
         for r in range(rows_per_band):
             i = b * rows_per_band + r
-            aggs.append(F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}"))
+            aggs.append(F.min(_h(i)).alias(f"h{i}"))
     sig = sh.groupBy(id_col).agg(*aggs)
     band_cols = []
     for b in range(bands):
@@ -256,13 +292,84 @@ def cosine_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    tables: int = 16,
+) -> DataFrame:
+    """(id_a < id_b) candidate pairs from multi-table sign-LSH buckets:
+    per table, vectors sharing the ``n_planes``-bit signature pair up
+    via an equi-join on (table, signature) — never a cross product.
+    Near-identical vectors (the dedup regime, cosine ≥ 0.95 ⇒ angle ≤
+    18°) collide in ≥1 of 16 tables with probability > 1−10⁻⁵; planes
+    are deterministic, so recall is a fixed property of the dataset,
+    not a per-run coin flip."""
+    from iceberg_compaction_spark.operators.similarity import add_lsh_signature
+
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    dim_row = base.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return base.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+        ).limit(0)
+    parts = []
+    for t in range(tables):
+        parts.append(
+            add_lsh_signature(base, vec_col, n_planes, dim=int(dim_row["d"]), table=t)
+            .select(id_col, "_sig")
+            .withColumn("_tbl", F.lit(t))
+        )
+    sigs = parts[0]
+    for p in parts[1:]:
+        sigs = sigs.unionByName(p)
+    a = sigs.select(F.col(id_col).alias("id_a"), "_tbl", "_sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "_tbl", "_sig")
+    return (
+        a.join(b, ["_tbl", "_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def embedding_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_planes: int = 8,
+    tables: int = 16,
+    bucketed: bool = True,
 ) -> DataFrame:
-    """Drop vectors having a near-identical earlier vector."""
-    pairs = cosine_pairs(emb, id_col, vec_col).filter(F.col("cosine") >= threshold)
-    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    """Drop vectors having a near-identical earlier vector.
+
+    Scale shape (default): LSH bucket candidates (equi-join,
+    ``lsh_candidate_pairs``) → exact cosine verify on candidates only →
+    anti-join victims. All-pairs exact verify (``bucketed=False``) is
+    the O(n²) fallback for tiny inputs or recall audits."""
+    if not bucketed:
+        pairs = cosine_pairs(emb, id_col, vec_col).filter(F.col("cosine") >= threshold)
+        victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return emb.join(victims, id_col, "left_anti")
+    cand = lsh_candidate_pairs(emb, id_col, vec_col, n_planes, tables)
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(F.col(id_col), F.col(vec_col), norm.alias("_n"))
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_n").alias("na")
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_n").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    victims = verified.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(victims, id_col, "left_anti")

@@ -636,9 +636,12 @@ FROM c
 
 
 def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4: Hilbert key (Skilling transform pandas UDF) — no SQL oracle
-    (iterative bit algorithm); driver records a rows-only check, and
-    tests/test_clustering.py proves bijectivity + unit-step continuity."""
+    """M4: Hilbert key (Skilling transform pandas UDF), verified
+    against the same transform unrolled into closed-form SQL
+    (HILBERT_KEY_SQL: 7 fixed Q-levels × 2 dims of inverse-undo, gray
+    encode, and the t-fold, as bounded CASE/xor chains — no iteration
+    left). tests/test_clustering.py additionally proves bijectivity +
+    unit-step continuity."""
     _utc(spark)
     import numpy as np
 
@@ -653,3 +656,60 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     bnd = {"ux": np.arange(1, 256), "tx": np.arange(1, 256)}
     out = add_cluster_key(df, ["ux", "tx"], curve="hilbert", bits=8, boundaries=bnd)
     return out.select("event_id", F.col("_cluster").alias("hkey"))
+
+
+def _hilbert_sql(bits: int = 8) -> str:
+    """Skilling's AxesToTranspose for d=2 unrolled step-for-step from
+    functions/clustering.py::hilbert_index: per Q level, dim 0's
+    invert-low-bits rule then dim 1's invert/exchange rule, each as one
+    CTE; then the gray encode, the t accumulation (an xor fold over Q
+    levels), and the final MSB-first interleave."""
+    qs = [1 << b for b in range(bits - 1, 0, -1)]
+    ctes = [
+        """c AS (
+  SELECT event_id,
+         CAST(user_id % 256 AS BIGINT) AS x0,
+         CAST((event_id * 7) % 256 AS BIGINT) AS x1
+  FROM events)"""
+    ]
+    cur, k = "c", 0
+    for q in qs:
+        p = q - 1
+        k += 1
+        ctes.append(
+            f"s{k} AS (SELECT event_id, "
+            f"CASE WHEN (x0 & {q}) != 0 THEN xor(x0, {p}) ELSE x0 END AS x0, "
+            f"x1 FROM {cur})"
+        )
+        cur = f"s{k}"
+        k += 1
+        ctes.append(
+            f"s{k} AS (SELECT event_id, "
+            f"CASE WHEN (x1 & {q}) != 0 THEN xor(x0, {p}) "
+            f"ELSE xor(x0, xor(x0, x1) & {p}) END AS x0, "
+            f"CASE WHEN (x1 & {q}) != 0 THEN x1 "
+            f"ELSE xor(x1, xor(x0, x1) & {p}) END AS x1 "
+            f"FROM {cur})"
+        )
+        cur = f"s{k}"
+    k += 1
+    ctes.append(f"s{k} AS (SELECT event_id, x0, xor(x1, x0) AS x1 FROM {cur})")
+    cur = f"s{k}"
+    t_expr = "0"
+    for q in qs:
+        t_expr = f"xor({t_expr}, CASE WHEN (x1 & {q}) != 0 THEN {q - 1} ELSE 0 END)"
+    k += 1
+    ctes.append(
+        f"s{k} AS (SELECT event_id, xor(x0, {t_expr}) AS x0, "
+        f"xor(x1, {t_expr}) AS x1 FROM {cur})"
+    )
+    cur = f"s{k}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT event_id, CAST({_bit_interleave_sql('x0', 'x1', bits)} AS BIGINT) AS hkey
+FROM {cur}
+"""
+
+
+HILBERT_KEY_SQL = _hilbert_sql()

@@ -399,3 +399,54 @@ WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM base WHERE turn_idx % 7 <> 3
 """
+
+
+_RANGE_LO = "2024-01-10 00:00:00"
+_RANGE_HI = "2024-01-13 00:00:00"
+
+
+def q_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file pruning (S1 + reference scan planning,
+    file_selection.rs:29 / mod.rs:400-435): build a day-partitioned
+    transcripts table from events, then scan a 3-of-30-day ts range.
+    The scan must (a) return exactly the SQL-filtered rows and (b) have
+    pruned most data files from the plan using only manifest bounds —
+    the function raises if nothing was pruned, so the driver row goes
+    red if pruning ever silently stops working."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_prune_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base)
+        n_total = len(table.files(content="data"))
+        out = table.scan(
+            spark,
+            filter=f"ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'",
+        ).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        if not (0 < table.last_scan_pruned_files < n_total):
+            raise AssertionError(
+                f"file pruning ineffective: {table.last_scan_pruned_files}/{n_total}"
+            )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+PRUNED_RANGE_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base
+WHERE ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'
+"""

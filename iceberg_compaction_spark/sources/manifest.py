@@ -124,8 +124,10 @@ def _footer_stats(path: str) -> tuple[int, int, str]:
                 maxs[name] = mx
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+    # nulls: None when the footer carried no null_count (unknown ≠ 0 —
+    # the pruner may only drop an IS NULL conjunct on a *known* zero)
     stats = {
-        c: {"min": mins.get(c), "max": maxs.get(c), "nulls": nulls.get(c, 0)}
+        c: {"min": mins.get(c), "max": maxs.get(c), "nulls": nulls.get(c)}
         for c in set(mins) | set(maxs)
     }
     return md.num_rows, os.path.getsize(path), json.dumps(stats, sort_keys=True, default=str)

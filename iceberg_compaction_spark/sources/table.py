@@ -81,6 +81,9 @@ class Table:
     def __init__(self, location: str, meta: dict):
         self.location = os.path.abspath(location)
         self.meta = meta
+        # observability for the most recent scan(filter=...) on this
+        # handle: how many data files the manifest bounds excluded
+        self.last_scan_pruned_files = 0
 
     # ------------------------------------------------------------------
     # paths
@@ -483,21 +486,41 @@ class Table:
         apply_mor_deletes: bool = True,
         with_hidden: bool = False,
         inline_delete_threshold: int = 10 << 20,
+        filter: str | None = None,
     ) -> DataFrame:
         """Snapshot-pinned MoR read: data files minus position/equality
         deletes, projected to user columns (SURVEY.md §3.4 grammar).
         Hidden columns are attached only when the matching delete kind
         exists, like the reference (file_scan.rs:195-212). Delete sets
         under ``inline_delete_threshold`` bytes get an explicit
-        broadcast hint (InlineDeleteData, README.md:60-69)."""
+        broadcast hint (InlineDeleteData, README.md:60-69).
+
+        ``filter``: a SQL predicate. Two layers, like Iceberg scan
+        planning (reference file_selection.rs:29 pins a snapshot scan
+        whose tasks carry bounds; decoded at mod.rs:400-435):
+        (1) manifest-stats **file pruning** drops whole data files whose
+        column bounds prove no row can match — a ts-range query over a
+        time-partitioned table opens ~1% of files, not 100%; (2) the
+        full predicate is applied to surviving rows (so pruning is never
+        a correctness dependency) and still pushes into Parquet row
+        groups. The count of pruned files is exposed via
+        ``last_scan_pruned_files`` for plan tests."""
         rows = self.manifest(snapshot_id)
         data_rows = [r for r in rows if r["content"] == mf.CONTENT_DATA]
         pos_rows = [r for r in rows if r["content"] == mf.CONTENT_POS_DEL]
         eq_rows = [r for r in rows if r["content"] == mf.CONTENT_EQ_DEL]
         user_cols = list(columns or self.user_columns())
 
+        self.last_scan_pruned_files = 0
+        if filter and data_rows:
+            from iceberg_compaction_spark.plans import pruning
+
+            data_rows, pruned = pruning.prune_files(data_rows, filter)
+            self.last_scan_pruned_files = pruned
+
         if not data_rows:
-            return spark.createDataFrame([], schema=self.schema()).select(*user_cols)
+            empty = spark.createDataFrame([], schema=self.schema()).select(*user_cols)
+            return empty.filter(F.expr(filter)) if filter else empty
 
         need_pos = apply_mor_deletes and bool(pos_rows)
         need_eq = apply_mor_deletes and bool(eq_rows)
@@ -511,6 +534,12 @@ class Table:
             if (need_eq or with_hidden)
             else None,
         )
+        if filter:
+            # residual predicate: full filter on surviving files (file
+            # pruning is bounds-based and conservative); applied before
+            # the MoR joins so delete-join input shrinks too, and pushed
+            # into the Parquet scan by Catalyst
+            df = df.filter(F.expr(filter))
 
         pos_df = None
         if need_pos:

@@ -159,3 +159,70 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_embedding_dedup_bucketed_matches_allpairs(spark):
+    """The LSH-bucketed default must reproduce the exact all-pairs
+    result at the dedup threshold (deterministic planes ⇒ recall is a
+    dataset property, asserted here at the driver's correctness SF)."""
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    exact = {r["vec_id"] for r in embedding_dedup(e, threshold=0.98, bucketed=False).collect()}
+    fast = {r["vec_id"] for r in embedding_dedup(e, threshold=0.98).collect()}
+    assert fast == exact
+
+
+def test_embedding_dedup_plan_has_no_cross_join(spark, emb):
+    """Scale gate: the bucketed path must plan as equi-joins — a
+    cartesian/broadcast-nested-loop anywhere means all-pairs is back."""
+    plan = embedding_dedup(emb.limit(50))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """A shingle present in every document must not produce O(n²)
+    candidate pairs when the df cap is on; docs sharing only capped
+    shingles drop out entirely."""
+    n = 60
+    rows = [(i, f"common shared trigram unique{i} token{i} tail{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc shares the universal shingle 'common shared trigram'
+    uncapped = ngram_jaccard_pairs(docs)
+    assert uncapped.count() == n * (n - 1) // 2
+    capped = ngram_jaccard_pairs(docs, max_shingle_df=5)
+    assert capped.count() == 0
+    # pairs whose shingles all sit below the cap keep exact jaccard
+    d2 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon"), (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    ref = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(d2).collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(d2, max_shingle_df=5).collect()
+    }
+    assert got == ref
+
+
+def test_minhash_xxhash64_variant(spark, docs):
+    """Production hash flag: same shape/determinism as md5, different
+    (cheaper) hash family; both find the same exact-duplicate pairs."""
+    d = docs.limit(40)
+    sig_md5 = minhash_signatures(d, bands=4, rows_per_band=2)
+    sig_xxh = minhash_signatures(d, bands=4, rows_per_band=2, hash_fn="xxhash64")
+    assert sig_xxh.groupBy("doc_id").count().filter("count != 4").count() == 0
+    # determinism
+    a = sorted(map(tuple, sig_xxh.collect()))
+    b = sorted(map(tuple, minhash_signatures(d, bands=4, rows_per_band=2, hash_fn="xxhash64").collect()))
+    assert a == b
+    # exact duplicates collide in every band under both hash families
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    for hf in ("md5", "xxhash64"):
+        sigs = minhash_signatures(dup, bands=4, rows_per_band=2, hash_fn=hf)
+        x = sigs.filter(F.col("doc_id") < 1_000_000).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "band", "signature"
+        )
+        assert sigs.join(x, ["doc_id", "band", "signature"]).count() == 4 * d.count()
