@@ -66,20 +66,32 @@ def expire_snapshots(
     if not expired:
         return ExpiryResult([], retained, 0, 0)
 
+    # Resolve every manifest BEFORE deleting anything: with delta
+    # manifests, a snapshot's listing may read ancestors that are
+    # themselves expiring.
     live_paths: set = set()
     for sid in retained:
         live_paths |= {r["path"] for r in table.manifest(sid)}
+    expired_rows = {sid: table.manifest(sid) for sid in expired}
+    # A retained delta whose chain crosses an expired snapshot would
+    # become unreadable — collapse it into a standalone base first.
+    expired_set = set(expired)
+    for sid in retained:
+        if table.resolution_ancestors(sid) & expired_set:
+            table.materialize_base(sid)
 
     deleted = 0
     deleted_bytes = 0
     for sid in expired:
-        for r in table.manifest(sid):
+        for r in expired_rows[sid]:
             p = r["path"]
             if p not in live_paths and os.path.exists(p) and delete_files:
                 deleted_bytes += os.path.getsize(p)
                 os.unlink(p)
                 deleted += 1
-        os.unlink(table._manifest_path(sid))
+        for mp in (table._manifest_path(sid), table._delta_path(sid)):
+            if os.path.exists(mp):
+                os.unlink(mp)
         os.unlink(table._snap_path(sid))
     return ExpiryResult(expired, retained, deleted, deleted_bytes)
 
@@ -227,11 +239,11 @@ def recommend_compaction(table: Table, config=None) -> dict:
 
 
 def rewrite_manifests(table: Table) -> int:
-    """Rewrite the current manifest compacted & canonically ordered
-    (path-sorted, partition-major) — the metadata analogue of data
-    compaction (C8/C12). With base+delta manifests this would merge
-    deltas; with single-file manifests it canonicalizes and re-stamps.
-    """
+    """Collapse the delta chain into one canonically ordered base
+    manifest (path-sorted, partition-major) — the metadata analogue of
+    data compaction (C8/C12). ``force_base`` guarantees the commit
+    writes a full manifest regardless of chain depth, so reads after
+    this are a single parquet scan again."""
     rows = table.manifest()
     rows = sorted(rows, key=lambda r: (r["partition"], r["content"], r["path"]))
     sid = table.current_snapshot_id
@@ -245,4 +257,9 @@ def rewrite_manifests(table: Table) -> int:
         )})
         for r in rows
     ]
-    return table.commit("rewrite_manifests", added=infos, removed_paths=[r["path"] for r in rows])
+    return table.commit(
+        "rewrite_manifests",
+        added=infos,
+        removed_paths=[r["path"] for r in rows],
+        force_base=True,
+    )

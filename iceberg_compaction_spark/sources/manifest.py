@@ -89,6 +89,54 @@ def read_manifest(path: str) -> list[dict]:
     return pq.read_table(path).to_pylist()
 
 
+# Delta manifests (Iceberg's manifest-list idea, minimally): a commit
+# writes only its adds + remove tombstones; the full listing is the
+# base manifest plus the delta chain. Keeps commit IO O(changed files)
+# instead of O(table files) — the difference between a usable and an
+# unusable commit path at 10^6 files.
+DELTA_SCHEMA = MANIFEST_SCHEMA.append(pa.field("op", pa.string()))  # add | remove
+
+
+def write_delta_manifest(
+    added_rows: Iterable[dict], removed_paths: Iterable[str], path: str
+) -> None:
+    rows = [dict(r, op="add") for r in added_rows]
+    rows += [
+        {
+            "path": p,
+            "content": "",
+            "size_bytes": 0,
+            "record_count": 0,
+            "sequence_number": 0,
+            "partition": "",
+            "equality_ids": [],
+            "stats_json": "{}",
+            "op": "remove",
+        }
+        for p in removed_paths
+    ]
+    table = (
+        pa.Table.from_pylist(rows, schema=DELTA_SCHEMA)
+        if rows
+        else DELTA_SCHEMA.empty_table()
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
+
+
+def read_delta_manifest(path: str) -> tuple[list[dict], set]:
+    """→ (added manifest rows, removed path set)."""
+    rows = pq.read_table(path).to_pylist()
+    adds = []
+    removed = set()
+    for r in rows:
+        if r.pop("op") == "add":
+            adds.append(r)
+        else:
+            removed.add(r["path"])
+    return adds, removed
+
+
 def _json_safe(v):
     if v is None:
         return None

@@ -108,6 +108,9 @@ class Table:
     def _manifest_path(self, sid: int) -> str:
         return os.path.join(self._meta_dir, f"manifest-{sid:08d}.parquet")
 
+    def _delta_path(self, sid: int) -> str:
+        return os.path.join(self._meta_dir, f"delta-{sid:08d}.parquet")
+
     # ------------------------------------------------------------------
     # create / load
     @staticmethod
@@ -200,25 +203,85 @@ class Table:
 
     # manifest cache (C8, reference ManifestCache metadata.rs:110-260):
     # manifests are immutable per snapshot id, so a bounded cache keyed
-    # by path is always coherent; expiry invalidates by existence check
+    # by manifest/delta path is always coherent; expiry invalidates by
+    # existence check. Cached values are FULLY-RESOLVED listings, so a
+    # delta chain resolves each ancestor at most once.
     _manifest_cache: dict = {}
     _MANIFEST_CACHE_MAX = 64
+    # Delta chains are collapsed into a fresh base every N commits so
+    # resolution work and expiry materialization stay bounded.
+    DELTA_CHAIN_MAX = 32
+
+    @staticmethod
+    def _cache_put(key: str, rows: list[dict]) -> None:
+        if len(Table._manifest_cache) >= Table._MANIFEST_CACHE_MAX:
+            Table._manifest_cache.pop(next(iter(Table._manifest_cache)))
+        Table._manifest_cache[key] = rows
+
+    def _resolve_manifest(self, sid: int) -> list[dict]:
+        """Full listing at ``sid``: a base manifest read, or the parent
+        resolution patched with this snapshot's delta (removes then
+        adds). Recursion depth ≤ DELTA_CHAIN_MAX."""
+        try:
+            snap = self.snapshot(sid)
+        except FileNotFoundError:
+            raise ValidationError(f"snapshot {sid} expired or unknown") from None
+        kind = snap.get("manifest_kind", "base")
+        key = self._manifest_path(sid) if kind == "base" else self._delta_path(sid)
+        if not os.path.exists(key):
+            Table._manifest_cache.pop(key, None)
+            raise ValidationError(f"snapshot {sid} expired or unknown")
+        cached = Table._manifest_cache.get(key)
+        if cached is not None:
+            return cached
+        if kind == "base":
+            rows = mf.read_manifest(key)
+        else:
+            parent_rows = self._resolve_manifest(snap["parent_id"])
+            adds, removed = mf.read_delta_manifest(key)
+            rows = [r for r in parent_rows if r["path"] not in removed] + adds
+        self._cache_put(key, rows)
+        return rows
 
     def manifest(self, snapshot_id: int | None = None) -> list[dict]:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
         if sid is None:
             return []
-        path = self._manifest_path(sid)
-        if not os.path.exists(path):
-            Table._manifest_cache.pop(path, None)
-            raise ValidationError(f"snapshot {sid} expired or unknown")
-        cached = Table._manifest_cache.get(path)
-        if cached is None:
-            cached = mf.read_manifest(path)
-            if len(Table._manifest_cache) >= Table._MANIFEST_CACHE_MAX:
-                Table._manifest_cache.pop(next(iter(Table._manifest_cache)))
-            Table._manifest_cache[path] = cached
-        return [dict(r) for r in cached]
+        return [dict(r) for r in self._resolve_manifest(sid)]
+
+    def materialize_base(self, sid: int) -> None:
+        """Collapse a delta-chained snapshot into a standalone base
+        manifest. Used by snapshot expiry before deleting ancestors a
+        retained snapshot's resolution still depends on."""
+        snap = self.snapshot(sid)
+        if snap.get("manifest_kind", "base") == "base":
+            return
+        rows = self._resolve_manifest(sid)
+        mf.write_manifest(rows, self._manifest_path(sid))
+        snap["manifest_kind"] = "base"
+        snap["delta_depth"] = 0
+        snap["manifest"] = self._manifest_path(sid)
+        tmp = self._snap_path(sid) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        os.replace(tmp, self._snap_path(sid))
+        delta = self._delta_path(sid)
+        Table._manifest_cache.pop(delta, None)
+        self._cache_put(self._manifest_path(sid), rows)
+        if os.path.exists(delta):
+            os.unlink(delta)
+
+    def resolution_ancestors(self, sid: int) -> set:
+        """Snapshot ids this snapshot's manifest resolution reads —
+        the delta chain up to and including its base (empty for a
+        base snapshot)."""
+        out: set = set()
+        snap = self.snapshot(sid)
+        while snap.get("manifest_kind", "base") != "base":
+            parent = snap["parent_id"]
+            out.add(parent)
+            snap = self.snapshot(parent)
+        return out
 
     def files(self, snapshot_id: int | None = None, content: str | None = None) -> list[dict]:
         rows = self.manifest(snapshot_id)
@@ -228,11 +291,44 @@ class Table:
 
     def files_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """The manifest as a Spark DataFrame — the ``.files`` metadata
-        table (S1); planning jobs stay DataFrame-native at scale."""
+        table (S1); planning jobs stay DataFrame-native at scale.
+
+        Delta chains resolve executor-side: base + delta parquets union
+        with a chain ordinal; per path the newest op wins (an add and a
+        remove in one commit resolve to the add). The driver walks only
+        snapshot JSONs, never file rows."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
         if sid is None:
             return spark.createDataFrame([], schema=self._files_df_schema())
-        return spark.read.parquet(self._manifest_path(sid))
+        deltas: list[str] = []
+        s = sid
+        while True:
+            snap = self.snapshot(s)
+            if snap.get("manifest_kind", "base") == "base":
+                base_path = self._manifest_path(s)
+                break
+            deltas.append(self._delta_path(s))
+            s = snap["parent_id"]
+        deltas.reverse()
+        df = (
+            spark.read.parquet(base_path)
+            .withColumn("op", F.lit("add"))
+            .withColumn("_ord", F.lit(0))
+        )
+        for i, p in enumerate(deltas):
+            df = df.unionByName(
+                spark.read.parquet(p).withColumn("_ord", F.lit(i + 1))
+            )
+        if not deltas:
+            return df.drop("op", "_ord")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("path").orderBy(F.desc("_ord"), F.asc("op"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("op") == "add"))
+            .drop("_rn", "_ord", "op")
+        )
 
     @staticmethod
     def _files_df_schema() -> T.StructType:
@@ -314,6 +410,7 @@ class Table:
         backoff_base_s: float = 0.05,
         backoff_cap_s: float = 30.0,
         extra_summary: dict | None = None,
+        force_base: bool = False,
     ) -> int:
         """Atomically produce the next snapshot.
 
@@ -322,7 +419,13 @@ class Table:
         ``removed_paths`` entry must still be live in the *current*
         manifest, else ``CommitConflict`` — the caller (compaction
         runner) decides whether the bin became a no-op. Lock contention
-        is retried with jittered backoff (retry.rs:73-101)."""
+        is retried with jittered backoff (retry.rs:73-101).
+
+        Manifest IO is O(changed files): the commit writes a *delta*
+        manifest (adds + remove tombstones) chained to the parent; a
+        full base manifest is written only at the root, every
+        ``DELTA_CHAIN_MAX`` commits, or on ``force_base`` (used by
+        rewrite_manifests to collapse the chain)."""
 
         removed = set(removed_paths)
 
@@ -348,14 +451,31 @@ class Table:
                     if row["sequence_number"] <= 0:
                         row["sequence_number"] = new_seq
                     added_rows.append(row)
-                mf.write_manifest(kept + added_rows, self._manifest_path(sid))
+                depth = 0
+                if parent is not None:
+                    depth = self.snapshot(parent).get("delta_depth", 0)
+                as_base = (
+                    force_base or parent is None or depth + 1 > Table.DELTA_CHAIN_MAX
+                )
+                if as_base:
+                    manifest_path = self._manifest_path(sid)
+                    mf.write_manifest(kept + added_rows, manifest_path)
+                    kind, new_depth = "base", 0
+                else:
+                    manifest_path = self._delta_path(sid)
+                    mf.write_delta_manifest(added_rows, sorted(removed), manifest_path)
+                    kind, new_depth = "delta", depth + 1
+                    # warm the cache so the next read patches, not re-walks
+                    self._cache_put(manifest_path, kept + added_rows)
                 snap = {
                     "snapshot_id": sid,
                     "parent_id": parent,
                     "sequence_number": new_seq,
                     "timestamp_ms": _now_ms(),
                     "operation": operation,
-                    "manifest": self._manifest_path(sid),
+                    "manifest": manifest_path,
+                    "manifest_kind": kind,
+                    "delta_depth": new_depth,
                     "summary": {
                         "added_files": len(added_rows),
                         "added_bytes": sum(r["size_bytes"] for r in added_rows),
