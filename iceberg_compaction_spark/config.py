@@ -34,7 +34,9 @@ class GroupingStrategy(str, Enum):
 class CommitMode(str, Enum):
     """Reference ``crates/proto/src/task.rs:55-68``."""
 
-    PLANNER_COMMIT = "planner_commit"  # default: driver commits atomically
+    PLANNER_COMMIT = "planner_commit"  # default: one atomic commit per run
+    WORKER_COMMIT = "worker_commit"    # one commit per bin: finer resume,
+    #                                    rewritten work visible immediately
     NO_COMMIT = "no_commit"            # dry run
 
 

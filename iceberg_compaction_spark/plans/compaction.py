@@ -144,6 +144,17 @@ class CompactionRunner:
         self.table = table
         self.config = config or CompactionConfig()
         self._info_cache: dict[str, list] = {}
+        # F7 (reference writer.rs:246-254): observed *output* bytes/row
+        # across bins refines rows-per-file for later bins — the input
+        # estimate is wrong exactly when compaction changes compression
+        # (small snappy files → big sorted files). Lock: bins may run on
+        # driver threads.
+        import threading
+
+        from iceberg_compaction_spark.functions.util import EwmaRowSize
+
+        self._row_size = EwmaRowSize()
+        self._row_size_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def plan(self, snapshot_id: int | None = None) -> list[BinPlan]:
@@ -258,7 +269,14 @@ class CompactionRunner:
             min(128 << 20, b.total_bytes // max(b.executor_parallelism, 1) + 1),
         )
 
-    def _rewrite_bin(self, run_id: str, snapshot_id: int, b: BinPlan, seq_by_path: dict) -> dict:
+    def _rewrite_bin(
+        self,
+        run_id: str,
+        snapshot_id: int,
+        b: BinPlan,
+        seq_by_path: dict,
+        commit_each: bool = False,
+    ) -> dict:
         cfg = self.config
         t0 = time.time()
         need_eq = bool(seq_by_path)
@@ -297,7 +315,10 @@ class CompactionRunner:
         # 1.5× slack: output partitions are already ≈target-sized by
         # output_parallelism; the row cap only splits pathological skew,
         # not the expected partition (which would shed tiny remainders)
-        avg_row = b.total_bytes / max(b.record_count, 1)
+        with self._row_size_lock:
+            avg_row = self._row_size.value
+        if avg_row is None:  # no output observed yet: input-size estimate
+            avg_row = b.total_bytes / max(b.record_count, 1)
         rows_per_file = int(cfg.records_per_file(avg_row) * 1.5)
         safe = b.bin.replace("/", "_").replace("#", "_")
         out_dir = os.path.join(self.table.data_dir, f"run-{run_id}", f"bin-{safe}")
@@ -324,6 +345,25 @@ class CompactionRunner:
         for fi in infos:
             fi.partition = Table._partition_of(fi)
         self._info_cache[b.bin] = infos
+        with self._row_size_lock:
+            self._row_size.update(
+                sum(fi.size_bytes for fi in infos),
+                sum(fi.record_count for fi in infos),
+            )
+        if commit_each:
+            # WorkerCommit (reference task.rs:62-64): the bin's replace
+            # snapshot lands immediately. No expected-parent pin —
+            # sibling bins advance the table concurrently; safety comes
+            # from removed-paths-still-live validation (bins never
+            # share inputs). Commits serialize on the table lock.
+            self.table.commit(
+                "replace",
+                added=infos,
+                removed_paths=sorted(b.paths),
+                retries=cfg.commit_max_retries,
+                backoff_base_s=cfg.commit_backoff_base_s,
+                backoff_cap_s=cfg.commit_backoff_cap_s,
+            )
         t1 = time.time()
         row = {
             "run_id": run_id,
@@ -407,13 +447,21 @@ class CompactionRunner:
         if sid is None:
             raise ValidationError("table has no snapshot to compact")
 
-        done = self._load_checkpoint(run_id)
-        for row in done.values():
-            if row["snapshot_id"] != sid:
-                raise ValidationError(
-                    f"checkpoint run-{run_id} pinned snapshot {row['snapshot_id']}, "
-                    f"table now at {sid}; start a new run"
-                )
+        worker_mode = cfg.commit_mode == CommitMode.WORKER_COMMIT
+        if worker_mode:
+            # WorkerCommit needs no checkpoint replay: committed bins'
+            # inputs already left the manifest, so re-planning from the
+            # current snapshot finds only un-rewritten files — resume is
+            # a plain re-run. Checkpoint rows remain as lineage.
+            done: dict[str, dict] = {}
+        else:
+            done = self._load_checkpoint(run_id)
+            for row in done.values():
+                if row["snapshot_id"] != sid:
+                    raise ValidationError(
+                        f"checkpoint run-{run_id} pinned snapshot {row['snapshot_id']}, "
+                        f"table now at {sid}; start a new run"
+                    )
 
         bins = self.plan(sid)
         res = CompactionResult(run_id=run_id, snapshot_before=sid, snapshot_after=None)
@@ -432,7 +480,7 @@ class CompactionRunner:
 
         def run_bin(b: BinPlan) -> dict:
             seqs = {p: seq_all[p] for p in b.paths} if eq_present else {}
-            return self._rewrite_bin(run_id, sid, b, seqs)
+            return self._rewrite_bin(run_id, sid, b, seqs, commit_each=worker_mode)
 
         # One scan-split size for the whole run, set before any bin and
         # restored after: per-bin session-conf mutation raced when bins
@@ -462,6 +510,30 @@ class CompactionRunner:
 
         res.bins_executed = len(pending)
         res.bins_skipped = len(done)
+
+        if worker_mode:
+            # bins already committed themselves; sweep deletes that
+            # became dangling across the whole run in one final commit
+            cur = self.table.current_snapshot_id
+            removable_dels = self._removable_delete_files(cur, set())
+            if removable_dels:
+                cur = self.table.commit(
+                    "maintenance",
+                    removed_paths=removable_dels,
+                    retries=cfg.commit_max_retries,
+                    backoff_base_s=cfg.commit_backoff_base_s,
+                    backoff_cap_s=cfg.commit_backoff_cap_s,
+                )
+            res.snapshot_after = cur
+            res.input_files = sum(r["input_files"] for r in rows)
+            res.output_files = sum(r["output_files"] for r in rows)
+            res.input_bytes = sum(r["input_bytes"] for r in rows)
+            res.output_bytes = sum(r["output_bytes"] for r in rows)
+            res.rows_processed = sum(r["rows_processed"] for r in rows)
+            res.removed_delete_files = len(removable_dels)
+            res.lineage = rows
+            res.wall_s = time.time() - t0
+            return res
 
         # ---- single atomic commit (PlannerCommit) ----
         rewritten = {p for r in rows for p in r["input_paths"]}

@@ -136,11 +136,11 @@ def test_resume_skips_done_bins(spark, tmp_warehouse, monkeypatch):
     orig = CompactionRunner._rewrite_bin
     calls = {"n": 0}
 
-    def crashing(self, run_id, sid, b, seqs):
+    def crashing(self, run_id, sid, b, seqs, **kw):
         if calls["n"] >= 1:
             raise RuntimeError("simulated crash")
         calls["n"] += 1
-        return orig(self, run_id, sid, b, seqs)
+        return orig(self, run_id, sid, b, seqs, **kw)
 
     monkeypatch.setattr(CompactionRunner, "_rewrite_bin", crashing)
     with pytest.raises(RuntimeError):

@@ -133,3 +133,60 @@ def test_stream_batch_replay_is_idempotent(spark, tmp_warehouse):
     w3 = make_idempotent_batch_writer(t, os.path.join(tmp_warehouse, "ckpt2"))
     w3(batch, 0)
     assert t.scan(spark).count() == base + 800
+
+
+def test_worker_commit_mode(spark, tmp_warehouse, monkeypatch):
+    """WorkerCommit: every bin lands as its own replace snapshot, a
+    crashed run resumes by re-planning (committed bins' inputs already
+    left the manifest), and the final table equals PlannerCommit's."""
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.config import CommitMode
+
+    results = {}
+    for name, mode in (("wp", CommitMode.PLANNER_COMMIT), ("ww", CommitMode.WORKER_COMMIT)):
+        t = create_transcripts_table(
+            spark, os.path.join(tmp_warehouse, name), n_turns=12_000, n_convs=60, n_files=24
+        )
+        snaps_before = len(t.snapshots())
+        runner = CompactionRunner(spark, t, small_cfg(commit_mode=mode))
+        bins = runner.plan()
+        assert len(bins) >= 2
+        res = runner.execute()
+        assert res.snapshot_after == t.current_snapshot_id
+        new_snaps = len(t.snapshots()) - snaps_before
+        if mode == CommitMode.WORKER_COMMIT:
+            assert new_snaps >= len(bins)  # one commit per bin
+        else:
+            assert new_snaps == 1
+        results[name] = ordered_rows(t.scan(spark))
+    assert results["wp"] == results["ww"]
+
+    # crash after the first bin: the bin's commit is already live; the
+    # re-run plans only the remaining files
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "wc"), n_turns=12_000, n_convs=60, n_files=24
+    )
+    before = ordered_rows(t.scan(spark))
+    runner = CompactionRunner(spark, t, small_cfg(commit_mode=CommitMode.WORKER_COMMIT))
+    n_bins = len(runner.plan())
+    orig = CompactionRunner._rewrite_bin
+    calls = {"n": 0}
+
+    def crashing(self, run_id, sid, b, seqs, commit_each=False):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return orig(self, run_id, sid, b, seqs, commit_each=commit_each)
+
+    monkeypatch.setattr(CompactionRunner, "_rewrite_bin", crashing)
+    with _pytest.raises(RuntimeError):
+        runner.execute(run_id="wrun")
+    monkeypatch.setattr(CompactionRunner, "_rewrite_bin", orig)
+    assert ordered_rows(t.scan(spark)) == before  # partial run still consistent
+
+    res = CompactionRunner(
+        spark, t, small_cfg(commit_mode=CommitMode.WORKER_COMMIT)
+    ).execute()
+    assert res.bins_total < n_bins  # committed bin's inputs not re-planned
+    assert ordered_rows(t.scan(spark)) == before
