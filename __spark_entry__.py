@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key": Q.q_hilbert_key,
         "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
         "pruned_range_scan": QP.q_pruned_range_scan,
+        "merge_into_roundtrip": QP.q_merge_into_roundtrip,
+        "time_travel_scan": QP.q_time_travel_scan,
+        "stream_sessionization": QP.q_stream_sessionization,
         # --- training-data pipeline ---
         "exact_dedup": QP.q_exact_dedup,
         "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
@@ -93,6 +96,9 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_key": Q.HILBERT_KEY_SQL,
         "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,
         "pruned_range_scan": QP.PRUNED_RANGE_SCAN_SQL,
+        "merge_into_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,
+        "time_travel_scan": QP.TIME_TRAVEL_SCAN_SQL,
+        "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
         "exact_dedup": QP.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,

@@ -367,7 +367,13 @@ def q_transcripts_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         table = Table.create(loc, TRANSCRIPT_DDL)
         base = build_transcripts_from_events(spark, sf_dir)
         table.append_dataframe(base.repartition(16, F.xxhash64("conv_id", "turn_idx")))
-        dels = base.filter(F.col("turn_idx") % 7 == 3).select("conv_id", "turn_idx")
+        # delete keys come from the *written table*, not the unmaterialized
+        # lineage (which would re-run the events window end-to-end)
+        dels = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") % 7 == 3)
+            .select("conv_id", "turn_idx")
+        )
         table.add_equality_deletes(dels, keys=["conv_id", "turn_idx"])
         cfg = CompactionConfig(
             selection=SelectionStrategy.FULL,
@@ -398,6 +404,160 @@ TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL = f"""
 WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM base WHERE turn_idx % 7 <> 3
+"""
+
+
+def q_merge_into_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 end-to-end: a real MERGE INTO against an engine table —
+    updates (key matched: old row dies via the equality delete, new row
+    wins by sequence number) and inserts (unmatched keys) land in ONE
+    atomic commit; the MoR scan must equal the plain-SQL upsert."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_merge_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.repartition(8, F.xxhash64("conv_id", "turn_idx")))
+        updates = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") % 10 == 5)
+            .withColumn("text", F.concat(F.lit("UPD|"), F.col("text")))
+        )
+        inserts = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") == 0)
+            .withColumn("turn_idx", F.lit(-1).cast("int"))
+            .withColumn("text", F.lit("INSERTED"))
+        )
+        merge_into(
+            table, updates.unionByName(inserts), keys=["conv_id", "turn_idx"]
+        )
+        out = table.scan(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+MERGE_INTO_ROUNDTRIP_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL}),
+src AS (
+  SELECT conv_id, turn_idx, role, 'UPD|' || text AS text, ts
+  FROM base WHERE turn_idx % 10 = 5
+  UNION ALL
+  SELECT conv_id, CAST(-1 AS INT) AS turn_idx, role, 'INSERTED' AS text, ts
+  FROM base WHERE turn_idx = 0)
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base b
+ANTI JOIN (SELECT DISTINCT conv_id, turn_idx FROM src) k USING (conv_id, turn_idx)
+UNION ALL
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM src
+"""
+
+
+def q_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-pinned reads (S1/C7): append two batches as separate
+    commits, scan the FIRST snapshot — it must show only batch one, no
+    matter how the table advanced (and the read resolves through the
+    delta-manifest chain)."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_tt_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        sid1 = table.append_dataframe(
+            base.filter(F.col("turn_idx") % 2 == 0).repartition(4)
+        )
+        table.append_dataframe(base.filter(F.col("turn_idx") % 2 == 1).repartition(4))
+        out = table.scan(spark, snapshot_id=sid1).select(
+            "conv_id", "turn_idx", "role", F.unix_timestamp("ts").alias("ts_epoch")
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+TIME_TRAVEL_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE turn_idx % 2 = 0
+"""
+
+
+def q_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful STREAMING operator (applyInPandasWithState,
+    SURVEY §2.9 extension) with a full SQL oracle: gap-sessionize the
+    events stream (availableNow over the parquet source). With each
+    user's events inside one micro-batch, the emitted sessions — closed
+    plus the final open one — are exactly the batch sessionization, so
+    DuckDB can check the stateful operator value-for-value."""
+    _utc(spark)
+    from iceberg_compaction_spark.streaming.windows import stream_sessionize
+
+    ev_schema = _t(spark, sf_dir, "events").schema
+    tdir = tempfile.mkdtemp(prefix="icemaint_sessstream_")
+    result_dir = os.path.join(tdir, "result")
+
+    def _sink(df: DataFrame, _bid: int) -> None:
+        df.write.mode("append").parquet(result_dir)
+
+    # the file source wants a directory; pathGlobFilter picks the table
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream_sessionize(stream, gap_s=1800)
+        .writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(tdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(result_dir).select(
+        "user_id", "session_seq", "n_events", "start_epoch", "end_epoch"
+    )
+
+
+STREAM_SESSIONIZATION_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sess AS (
+  SELECT *, CAST(sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked)
+SELECT user_id, session_id - 1 AS session_seq, count(*) AS n_events,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_epoch,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_epoch
+FROM sess GROUP BY user_id, session_id
 """
 
 
