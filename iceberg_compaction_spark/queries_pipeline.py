@@ -503,6 +503,40 @@ FROM base WHERE turn_idx % 2 = 0
 """
 
 
+def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-style) read: three append commits; the
+    incremental scan between snapshot 1 and snapshot 3 must return
+    exactly the rows of batches 2+3 — the poll-for-new-data shape an
+    ingest-then-derive pipeline runs."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_incr_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        sid1 = table.append_dataframe(base.filter(F.col("turn_idx") % 3 == 0).repartition(4))
+        table.append_dataframe(base.filter(F.col("turn_idx") % 3 == 1).repartition(4))
+        sid3 = table.append_dataframe(base.filter(F.col("turn_idx") % 3 == 2).repartition(4))
+        out = table.incremental_scan(spark, sid1, sid3).select(
+            "conv_id", "turn_idx", "role", F.unix_timestamp("ts").alias("ts_epoch")
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+INCREMENTAL_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE turn_idx % 3 IN (1, 2)
+"""
+
+
 def q_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful STREAMING operator (applyInPandasWithState,
     SURVEY §2.9 extension) with a full SQL oracle: gap-sessionize the

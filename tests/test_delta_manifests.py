@@ -121,3 +121,19 @@ def test_expiry_materializes_retained_deltas(spark, tmp_warehouse):
     for sid in sids[-2:]:
         assert not (t.resolution_ancestors(sid) & set(res.expired_snapshot_ids))
     assert t.snapshot(sids[-2])["manifest_kind"] == "base"
+
+
+def test_incremental_scan_between_snapshots(spark, tmp_warehouse):
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "inc"), n_turns=600, n_convs=3, n_files=2
+    )
+    sid1 = t.current_snapshot_id
+    t.append_dataframe(transcripts_df(spark, 100, 2).coalesce(1))
+    sid2 = t.current_snapshot_id
+    t.append_dataframe(transcripts_df(spark, 50, 2).coalesce(1))
+    sid3 = t.current_snapshot_id
+    assert t.incremental_scan(spark, sid1, sid2).count() == 100
+    assert t.incremental_scan(spark, sid1, sid3).count() == 150
+    assert t.incremental_scan(spark, sid2, sid3).count() == 50
+    assert t.incremental_scan(spark, sid3, sid3).count() == 0
+    assert t.incremental_scan(spark, None, sid1).count() == 600
