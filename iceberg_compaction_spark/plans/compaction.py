@@ -533,6 +533,11 @@ class CompactionRunner:
             res.removed_delete_files = len(removable_dels)
             res.lineage = rows
             res.wall_s = time.time() - t0
+            GLOBAL.inc("compaction.runs")
+            GLOBAL.inc("compaction.bins_executed", res.bins_executed)
+            GLOBAL.inc("compaction.bytes_read", res.input_bytes)
+            GLOBAL.inc("compaction.bytes_written", res.output_bytes)
+            GLOBAL.inc("compaction.rows_rewritten", res.rows_processed)
             return res
 
         # ---- single atomic commit (PlannerCommit) ----
@@ -572,4 +577,9 @@ class CompactionRunner:
         res.removed_delete_files = len(removable_dels)
         res.lineage = rows
         res.wall_s = time.time() - t0
+        GLOBAL.inc("compaction.runs")
+        GLOBAL.inc("compaction.bins_executed", res.bins_executed)
+        GLOBAL.inc("compaction.bytes_read", res.input_bytes)
+        GLOBAL.inc("compaction.bytes_written", res.output_bytes)
+        GLOBAL.inc("compaction.rows_rewritten", res.rows_processed)
         return res

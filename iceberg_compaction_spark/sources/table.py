@@ -62,6 +62,7 @@ from iceberg_compaction_spark.errors import (
     ValidationError,
     with_retry,
 )
+from iceberg_compaction_spark.metrics import GLOBAL as METRICS
 from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL, SEQ_COL, apply_deletes
 from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources import scan as scan_mod
@@ -474,10 +475,12 @@ class Table:
         removed = set(removed_paths)
 
         def attempt() -> int:
+            METRICS.inc("commit.attempts")
             with self._lock():
                 cur = self._read_current()
                 parent = cur["current_snapshot_id"]
                 if expected_snapshot_id is not ... and parent != expected_snapshot_id:
+                    METRICS.inc("commit.conflicts")
                     raise CommitConflict(
                         f"expected parent {expected_snapshot_id}, found {parent}"
                     )
@@ -485,6 +488,7 @@ class Table:
                 live = {r["path"] for r in rows}
                 missing = removed - live
                 if missing:
+                    METRICS.inc("commit.conflicts")
                     raise CommitConflict(f"{len(missing)} input files no longer live")
                 new_seq = cur["sequence_number"] + 1
                 sid = (parent if parent is not None else 0) + 1
@@ -535,6 +539,12 @@ class Table:
                 with open(tmp, "w") as f:
                     json.dump({"current_snapshot_id": sid, "sequence_number": new_seq}, f)
                 os.replace(tmp, self._current_path())  # atomic CAS point
+                METRICS.inc("commit.success")
+                METRICS.inc("commit.files_added", len(added_rows))
+                METRICS.inc("commit.files_removed", len(removed))
+                METRICS.inc(
+                    "commit.bytes_added", sum(r["size_bytes"] for r in added_rows)
+                )
                 return sid
 
         return with_retry(
@@ -681,6 +691,8 @@ class Table:
 
             data_rows, pruned = pruning.prune_files(data_rows, filter)
             self.last_scan_pruned_files = pruned
+            METRICS.inc("scan.files_pruned", pruned)
+        METRICS.inc("scan.files_scanned", len(data_rows))
 
         if not data_rows:
             empty = spark.createDataFrame([], schema=self.schema()).select(*user_cols)

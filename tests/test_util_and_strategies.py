@@ -127,3 +127,43 @@ def test_parallel_bins_execution(spark, tmp_warehouse):
     res = runner.execute(parallel_bins=4)
     assert res.bins_executed >= 2
     assert t.scan(spark).count() == before
+
+
+def test_metrics_counters_move(spark, tmp_warehouse):
+    """A5: the reference's operational counters (commits, bytes, bins,
+    pruning) actually move when the engine runs."""
+    import os
+
+    from iceberg_compaction_spark.metrics import GLOBAL
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import create_transcripts_table
+
+    before = GLOBAL.snapshot()
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "metrics"), n_turns=2_000, n_convs=10,
+        n_files=4, partitioned=True,
+    )
+    CompactionRunner(
+        spark,
+        t,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL, group_target_size_bytes=256 << 10,
+            min_size_per_partition_bytes=1 << 20,
+        ),
+    ).execute()
+    ts0 = t.scan(spark).select("ts").orderBy("ts").limit(1).collect()[0][0]
+    t.scan(spark, filter=f"ts < TIMESTAMP '{ts0}'").count()
+    after = GLOBAL.snapshot()
+
+    def moved(k):
+        return after.get(k, 0) > before.get(k, 0)
+
+    for key in (
+        "commit.success", "commit.files_added", "commit.bytes_added",
+        "compaction.runs", "compaction.bins_executed", "compaction.bytes_written",
+        "scan.files_pruned", "scan.files_scanned",
+    ):
+        assert moved(key), key
+    text = GLOBAL.prometheus_text()
+    assert "# TYPE commit_success counter" in text
