@@ -551,6 +551,13 @@ def q_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = tempfile.mkdtemp(prefix="icemaint_sessstream_")
     result_dir = os.path.join(tdir, "result")
 
+    # stateful ops can't use AQE, so the state-store shuffle runs at the
+    # raw spark.sql.shuffle.partitions (200 on a default session) — size
+    # it to the machine for this query and restore afterwards
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, str(spark.sparkContext.defaultParallelism))
+
     def _sink(df: DataFrame, _bid: int) -> None:
         df.write.mode("append").parquet(result_dir)
 
@@ -568,7 +575,13 @@ def q_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        q.awaitTermination(300)
+    finally:
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
     return spark.read.parquet(result_dir).select(
         "user_id", "session_seq", "n_events", "start_epoch", "end_epoch"
     )

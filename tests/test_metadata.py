@@ -80,3 +80,31 @@ def test_commit_expected_parent_cas(spark, tmp_warehouse):
     t.append_dataframe(transcripts_df(spark, 100, 5))
     with pytest.raises(CommitConflict):
         t.commit("append", added=[FileInfo(path="/nope")], expected_snapshot_id=99, retries=0)
+
+
+def test_concurrent_committers_serialize(spark, tmp_warehouse):
+    """C5/C9: two threads committing appends concurrently contend on the
+    table lock; retry-with-backoff must land BOTH commits, in some
+    order, with no lost updates."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iceberg_compaction_spark.sources.generator import (
+        create_transcripts_table,
+        transcripts_df,
+    )
+
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "conc"), n_turns=500, n_convs=5, n_files=2
+    )
+    base = t.scan(spark).count()
+    batches = [transcripts_df(spark, 100 + i, 2).coalesce(1) for i in range(4)]
+    infos = [t.write_data_files(b) for b in batches]  # pre-write, commit-race only
+
+    def commit_one(inf):
+        return t.commit("append", added=inf, retries=20)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        sids = list(ex.map(commit_one, infos))
+    assert len(set(sids)) == 4  # four distinct snapshots
+    assert t.scan(spark).count() == base + sum(100 + i for i in range(4))

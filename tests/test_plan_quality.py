@@ -67,3 +67,19 @@ def test_whole_stage_codegen_on_text_ops(spark):
     # "*(n)" marks whole-stage-codegen stages in the plan string
     assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scan_filter_pushes_into_parquet(spark, tmp_warehouse):
+    """The residual predicate of a pruned scan must still reach the
+    Parquet reader (PushedFilters), not evaluate post-scan only."""
+    import os
+
+    from iceberg_compaction_spark.sources.generator import create_transcripts_table
+
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "push"), n_turns=2_000, n_convs=10,
+        n_files=4, partitioned=True,
+    )
+    df = t.scan(spark, filter="turn_idx >= 100")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "turn_idx" in plan.split("PushedFilters")[1][:200]
