@@ -108,3 +108,87 @@ def test_scan_filter_prunes_and_matches(spark, tmp_warehouse):
     empty = t.scan(spark, filter="ts >= TIMESTAMP '2030-01-01 00:00:00'")
     assert empty.count() == 0
     assert t.last_scan_pruned_files == n_files
+
+
+# ---------------------------------------------------------------------------
+# property: pruning is CONSERVATIVE — if the bounds exclude a file, no
+# row in that file can satisfy the predicate (checked by brute force)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _eval_row(row: dict, conjuncts) -> bool:
+    for col, op, lits in conjuncts:
+        v = row.get(col)
+        if op == "isnull":
+            if v is not None:
+                return False
+            continue
+        if v is None:
+            return False
+        if op == "in":
+            if not any(v == lv for _k, lv in lits):
+                return False
+            continue
+        lit = lits[0][1]
+        ok = {
+            "=": v == lit,
+            "<": v < lit,
+            "<=": v <= lit,
+            ">": v > lit,
+            ">=": v >= lit,
+        }[op]
+        if not ok:
+            return False
+    return True
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "a": st.one_of(st.none(), st.integers(-50, 50)),
+                "b": st.one_of(st.none(), st.integers(-5, 5)),
+            }
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    preds=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from(_OPS + ("in", "isnull")),
+            st.lists(st.integers(-60, 60), min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_prune_never_excludes_a_matching_file(rows, preds):
+    # file stats exactly as the manifest writer would record them
+    stats = {}
+    for c in ("a", "b"):
+        vals = [r[c] for r in rows if r[c] is not None]
+        stats[c] = {
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "nulls": sum(1 for r in rows if r[c] is None),
+        }
+    # build the predicate string and the parsed conjuncts it yields
+    parts = []
+    for col, op, lits in preds:
+        if op == "isnull":
+            parts.append(f"{col} IS NULL")
+        elif op == "in":
+            parts.append(f"{col} IN ({', '.join(str(x) for x in lits)})")
+        else:
+            parts.append(f"{col} {op} {lits[0]}")
+    expr = " AND ".join(parts)
+    conjuncts = parse_conjuncts(expr)
+    # floats come back from parsing; normalize for the row evaluator
+    any_match = any(_eval_row(r, conjuncts) for r in rows)
+    if not file_may_match(stats, conjuncts):
+        assert not any_match, (expr, rows, stats)
