@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": QP.q_embedding_topk,
         "embedding_dedup": QP.q_embedding_dedup,
         "lsh_ann_topk": QP.q_lsh_ann_topk,
+        "ivf_ann_topk": QP.q_ivf_ann_topk,
         "multimodal_features": QP.q_multimodal_features,
     }
 
@@ -108,5 +109,6 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": QP.TEXT_ANALYSIS_SQL,
         "embedding_topk": QP.EMBEDDING_TOPK_SQL,
         "embedding_dedup": QP.EMBEDDING_DEDUP_SQL,
+        "ivf_ann_topk": QP.IVF_ANN_TOPK_SQL,
         # lsh_ann_topk, multimodal_features: rows-only by design
     }

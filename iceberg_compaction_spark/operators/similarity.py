@@ -101,6 +101,104 @@ def add_lsh_signature(
     return df.withColumn(out_col, _sig(F.col(vec_col)))
 
 
+def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
+    """pandas_udf: ids of the ``nprobe`` nearest centroids (by cosine)
+    for each vector; the centroid matrix rides in the closure (small)."""
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+
+    @pandas_udf("array<int>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        vnorm = np.linalg.norm(mat, axis=1)
+        vnorm[vnorm == 0] = 1.0
+        sims = (mat @ centroids.T) / np.outer(vnorm, norms)
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return _probe
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: initial centroids are the
+    vectors with the smallest xxhash64(id) (seedless deterministic
+    sample), refined by ``iters`` Lloyd rounds. Every step is
+    DataFrame-distributed; only centroid-sized results (n_centroids ×
+    dim) ever reach the driver, so training cost is O(iters) corpus
+    scans regardless of table size."""
+    init = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r["v"] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assign = corpus.withColumn("_cid", _nearest_centroids_udf(cents, 1)(F.col(vec_col))[0])
+        # element-wise mean per centroid: posexplode → (cid, pos) avg;
+        # result is centroid-sized, safe to collect
+        means = (
+            assign.select("_cid", F.posexplode(vec_col).alias("_pos", "_x"))
+            .groupBy("_cid", "_pos")
+            .agg(F.avg("_x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            new[r["_cid"], r["_pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the other
+    classic ANN scale path next to sign-LSH: corpus vectors list under
+    their nearest centroid; each query probes its ``nprobe`` nearest
+    cells; exact cosine re-ranks the probed lists only. The cell join
+    is an equi-join on the centroid id, so the plan is
+    broadcast/shuffle-hash, never all-pairs; recall grows with
+    nprobe/n_centroids ratio."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        corpus, vec_col, id_col, n_centroids, iters
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c_assigned = c.withColumn("_cid", _nearest_centroids_udf(cents, 1)(F.col("_cv"))[0])
+    q_probed = q.withColumn(
+        "_cid", F.explode(_nearest_centroids_udf(cents, nprobe)(F.col("_qv")))
+    )
+    cand = (
+        q_probed.join(c_assigned, "_cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _cosine_cols("_qv", "_cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -271,6 +271,29 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=3)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file index: Lloyd-refined centroids, probed
+    cells, exact re-rank) run at FULL probe (nprobe = n_centroids),
+    where IVF is provably lossless — so the entire IVF machinery
+    (training, assignment, cell join, re-rank) is value-checked against
+    the brute-force SQL oracle. The approximate regime (nprobe <
+    n_centroids) is pinned by tests/test_pipeline_ops.py recall ≥ 0.6."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+IVF_ANN_TOPK_SQL = EMBEDDING_TOPK_SQL  # full probe ⇒ identical to exact
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + mapInPandas feature extraction (decode
     stubbed deterministically). sha1/byte stats are reproducible, but

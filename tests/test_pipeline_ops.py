@@ -226,3 +226,30 @@ def test_minhash_xxhash64_variant(spark, docs):
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "band", "signature"
         )
         assert sigs.join(x, ["doc_id", "band", "signature"]).count() == 4 * d.count()
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    from iceberg_compaction_spark.operators.similarity import ivf_topk
+
+    queries = emb.limit(8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx_rows = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert len(approx_rows) <= 8 * 3
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # determinism: same centroids, same result
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4).collect()
+    }
+    assert again == approx
+    # full probe == exact (IVF with nprobe = n_centroids is lossless)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=8).collect()
+    }
+    assert full == exact
