@@ -560,6 +560,51 @@ FROM base WHERE turn_idx % 3 IN (1, 2)
 """
 
 
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: add a column after the first commit, append a
+    second batch carrying it — rows written before the column existed
+    scan as NULL (metadata-only evolution, no rewrite), new rows carry
+    values. Checked value-for-value against the SQL reconstruction."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_evo_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.filter(F.col("turn_idx") % 2 == 0).repartition(4))
+        table.add_column("score", "double")
+        table.append_dataframe(
+            base.filter(F.col("turn_idx") % 2 == 1)
+            .withColumn("score", F.round(F.col("turn_idx") * 0.5, 1))
+            .repartition(4)
+        )
+        out = table.scan(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "score",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+SCHEMA_EVOLUTION_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 2 = 1
+            THEN CAST(round(turn_idx * 0.5, 1) AS DOUBLE) END AS score,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base
+"""
+
+
 def q_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful STREAMING operator (applyInPandasWithState,
     SURVEY §2.9 extension) with a full SQL oracle: gap-sessionize the

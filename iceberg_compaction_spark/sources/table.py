@@ -170,6 +170,54 @@ class Table:
             cols.append(cur)
         return [c.strip().split()[0].strip("`") for c in cols]
 
+    # ------------------------------------------------------------------
+    # schema evolution: because every read supplies the table schema to
+    # the Parquet scan (read_data_files), columns absent from old files
+    # surface as nulls automatically — so add/drop are metadata-only,
+    # no data rewrite, exactly Iceberg's semantics for these two ops.
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self._meta_dir, f"table.json.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f, indent=1)
+        os.replace(tmp, os.path.join(self._meta_dir, "table.json"))
+
+    def add_column(self, name: str, ddl_type: str) -> None:
+        """Append a nullable column. Existing files never change; scans
+        return NULL for rows written before the column existed."""
+        if name in self.user_columns():
+            raise ValidationError(f"column {name} already exists")
+        self.meta["schema_ddl"] = f"{self.meta['schema_ddl']}, {name} {ddl_type}"
+        self._write_meta()
+
+    def drop_column(self, name: str) -> None:
+        """Remove a column from the schema. Data files keep the bytes
+        (dead until compaction rewrites them); scans stop projecting it
+        immediately."""
+        part = self.meta.get("partition")
+        if part and name == part["field"]:
+            raise ValidationError("cannot drop the partition column")
+        cols = self.user_columns()
+        if name not in cols:
+            raise ValidationError(f"no such column {name}")
+        if len(cols) == 1:
+            raise ValidationError("cannot drop the last column")
+        pieces, depth, cur = [], 0, ""
+        for ch in self.meta["schema_ddl"]:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                pieces.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            pieces.append(cur)
+        kept = [p for p in pieces if p.strip().split()[0].strip("`") != name]
+        self.meta["schema_ddl"] = ", ".join(p.strip() for p in kept)
+        self._write_meta()
+
     def physical_schema(self) -> T.StructType:
         s = self.schema()
         if self.meta.get("partition"):

@@ -108,3 +108,50 @@ def test_concurrent_committers_serialize(spark, tmp_warehouse):
         sids = list(ex.map(commit_one, infos))
     assert len(set(sids)) == 4  # four distinct snapshots
     assert t.scan(spark).count() == base + sum(100 + i for i in range(4))
+
+
+def test_schema_evolution_add_drop(spark, tmp_warehouse):
+    """Add/drop column are metadata-only: old files scan with NULLs for
+    added columns, dropped columns vanish from projections, and
+    compaction rewrites settle the physical layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.errors import ValidationError as VErr
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import (
+        create_transcripts_table,
+        transcripts_df,
+    )
+
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "evo"), n_turns=1_000, n_convs=5, n_files=2
+    )
+    t.add_column("score", "double")
+    assert "score" in t.user_columns()
+    old = t.scan(spark)
+    assert old.filter(F.col("score").isNotNull()).count() == 0  # old rows: NULL
+    batch = transcripts_df(spark, 100, 2).withColumn("score", F.lit(0.5))
+    t.append_dataframe(batch.coalesce(1))
+    got = t.scan(spark)
+    assert got.count() == 1_100
+    assert got.filter(F.col("score") == 0.5).count() == 100
+    # compaction carries the evolved schema through the rewrite
+    CompactionRunner(
+        spark, t, CompactionConfig(selection=SelectionStrategy.FULL)
+    ).execute()
+    got2 = t.scan(spark)
+    assert got2.filter(F.col("score") == 0.5).count() == 100
+    assert got2.filter(F.col("score").isNull()).count() == 1_000
+
+    t.drop_column("tool")
+    assert "tool" not in t.user_columns()
+    assert "tool" not in t.scan(spark).columns
+    import pytest as _pytest
+
+    with _pytest.raises(VErr):
+        t.add_column("score", "double")
+    with _pytest.raises(VErr):
+        t.drop_column("nope")
