@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_signatures": QP.q_minhash_band_signatures,
         "simhash_fingerprint": QP.q_simhash_fingerprint,
         "text_analysis": QP.q_text_analysis,
+        "winnow_fingerprints": QP.q_winnow_fingerprints,
         "embedding_topk": QP.q_embedding_topk,
         "embedding_dedup": QP.q_embedding_dedup,
         "lsh_ann_topk": QP.q_lsh_ann_topk,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,
         "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
         "text_analysis": QP.TEXT_ANALYSIS_SQL,
+        "winnow_fingerprints": QP.WINNOW_FINGERPRINTS_SQL,
         "embedding_topk": QP.EMBEDDING_TOPK_SQL,
         "embedding_dedup": QP.EMBEDDING_DEDUP_SQL,
         "ivf_ann_topk": QP.IVF_ANN_TOPK_SQL,

@@ -112,3 +112,52 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm, public): hash every character k-gram of the
+    normalized text (rolling-hash family; md5-prefix here so an
+    external SQL oracle reproduces it bit-for-bit), slide a window of
+    ``window`` consecutive k-gram hashes, keep each window's minimum.
+    The distinct (doc, hash) survivors are a position-robust signature:
+    any shared substring of length ≥ k + window − 1 guarantees a shared
+    fingerprint, which whole-document hashing cannot do.
+
+    Plan shape: posexplode(k-grams) → min over an ordered row window
+    per doc → distinct. One shuffle on doc_id; no UDFs, scan-speed
+    expressions throughout.
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("_norm") - k + 1, F.lit(1))),
+        lambda i: F.col("_norm").substr(i, F.lit(k)),
+    )
+    ex = (
+        df.withColumn("_norm", norm)
+        .filter(F.length("_norm") >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("_pos", "_g"))
+        .select(
+            id_col,
+            "_pos",
+            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long").alias("_h"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
+    return (
+        ex.withColumn("_n", F.count("*").over(W.partitionBy(id_col)))
+        .withColumn("_win_min", F.min("_h").over(w))
+        # only full windows select fingerprints (the final short windows
+        # repeat earlier minima or under-sample; SIGMOD defn uses full)
+        .filter(F.col("_pos") <= F.col("_n") - window)
+        .select(F.col(id_col), F.col("_win_min").alias("fingerprint_hash"))
+        .distinct()
+    )

@@ -203,6 +203,38 @@ FROM documents
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — the MOSS
+    signature: min hash per sliding window of character 5-gram hashes,
+    distinct per doc. Any shared substring ≥ k+window−1 chars forces a
+    shared fingerprint."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.textql import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, window=4)
+
+
+WINNOW_FINGERPRINTS_SQL = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(s, i, 5)), 1, 8))::BIGINT AS h
+  FROM norm, UNNEST(generate_series(1, greatest(length(s) - 4, 1))) AS u(i)
+  WHERE length(s) >= 5),
+win AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams)
+SELECT DISTINCT doc_id, wmin AS fingerprint_hash
+FROM win WHERE pos <= n - 4
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for a deterministic query set
     (vec_id % 100 == 0), double-precision math in both engines."""

@@ -253,3 +253,31 @@ def test_ivf_topk_recall_vs_exact(spark, emb):
         for r in ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=8).collect()
     }
     assert full == exact
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing's core property: documents sharing a substring of
+    length >= k + window - 1 share at least one fingerprint; disjoint
+    documents share none (here, by construction)."""
+    from iceberg_compaction_spark.operators.textql import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAA111 {shared} BBB222"),
+            (2, f"CCC333 {shared} DDD444"),
+            (3, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint_hash"])
+    assert by_doc[1] & by_doc[2]          # shared substring -> shared print
+    assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint prints
+    # deterministic
+    again = {}
+    for r in winnow_fingerprints(docs, k=5, window=4).collect():
+        again.setdefault(r["doc_id"], set()).add(r["fingerprint_hash"])
+    assert again == by_doc
