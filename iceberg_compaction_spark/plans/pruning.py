@@ -78,6 +78,21 @@ def _parse_literal(s: str):
     return ("num", float(s))
 
 
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # not one balanced wrapper: leave as-is
+        s = s[1:-1].strip()
+    return s
+
+
 def parse_conjuncts(expr: str) -> list[tuple]:
     """→ [(col, op, [(kind, value), ...])]; op in {'=','<','<=','>','>=',
     'in','isnull'}. Conjuncts that don't parse are silently dropped
@@ -86,7 +101,7 @@ def parse_conjuncts(expr: str) -> list[tuple]:
     if parts is None:
         return []
     out: list[tuple] = []
-    for p in parts:
+    for p in (_strip_outer_parens(x) for x in parts):
         if (m := _CMP_RE.match(p)) is not None:
             op = "=" if m.group(2) == "==" else m.group(2)
             try:

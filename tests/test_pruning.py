@@ -192,3 +192,12 @@ def test_prune_never_excludes_a_matching_file(rows, preds):
     any_match = any(_eval_row(r, conjuncts) for r in rows)
     if not file_may_match(stats, conjuncts):
         assert not any_match, (expr, rows, stats)
+
+
+def test_parenthesized_conjuncts_parse():
+    cj = parse_conjuncts("(a > 5) AND (b <= 3)")
+    assert [(c[0], c[1]) for c in cj] == [("a", ">"), ("b", "<=")]
+    # an OR inside parens must NOT leak a prunable conjunct
+    cj = parse_conjuncts("(a > 5 OR b < 3) AND c = 1")
+    assert [(c[0], c[1]) for c in cj] == [("c", "=")]
+    assert parse_conjuncts("((a >= 7))") == [("a", ">=", [("num", 7.0)])]
