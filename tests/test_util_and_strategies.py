@@ -167,3 +167,26 @@ def test_metrics_counters_move(spark, tmp_warehouse):
         assert moved(key), key
     text = GLOBAL.prometheus_text()
     assert "# TYPE commit_success counter" in text
+
+
+def test_objectstore_config_plumbing(spark):
+    """S5: configure_s3a lands the Hadoop S3A settings on the session
+    (the sandbox has no object store; the engine is path-agnostic, so
+    config plumbing is the testable surface)."""
+    from iceberg_compaction_spark.sources.objectstore import configure_s3a
+
+    configure_s3a(
+        spark,
+        access_key="ak",
+        secret_key="sk",
+        endpoint="http://localhost:9000",
+        region="us-east-1",
+        path_style_access=True,
+    )
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("fs.s3a.access.key") == "ak"
+    assert hc.get("fs.s3a.secret.key") == "sk"
+    assert hc.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert hc.get("fs.s3a.endpoint.region") == "us-east-1"
+    assert hc.get("fs.s3a.path.style.access") == "true"
+    assert hc.get("fs.s3a.multipart.size") == str(8 << 20)
