@@ -712,6 +712,58 @@ _RANGE_LO = "2024-01-10 00:00:00"
 _RANGE_HI = "2024-01-13 00:00:00"
 
 
+def q_clustered_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction with Z-ORDER clustering in the rewrite (M4 wired into
+    C1–C7): the physical layout changes (repartitionByRange on the
+    interleaved key), the logical content must not — the scan after a
+    clustered rewrite equals the plain SQL anti-join, value-for-value."""
+    _utc(spark)
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_zorder_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.repartition(8, F.xxhash64("conv_id", "turn_idx")))
+        dels = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") % 5 == 2)
+            .select("conv_id", "turn_idx")
+        )
+        table.add_equality_deletes(dels, keys=["conv_id", "turn_idx"])
+        cfg = CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            group_target_size_bytes=8 << 20,
+            target_file_size_bytes=8 << 20,
+            clustering="zorder",
+            cluster_columns=("conv_id", "turn_idx"),
+        )
+        CompactionRunner(spark, table, cfg).execute()
+        out = table.scan(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+CLUSTERED_COMPACTION_ROUNDTRIP_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE turn_idx % 5 <> 2
+"""
+
+
 def q_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-stats file pruning (S1 + reference scan planning,
     file_selection.rs:29 / mod.rs:400-435): build a day-partitioned
