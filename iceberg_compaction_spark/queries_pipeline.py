@@ -462,6 +462,43 @@ FROM base WHERE turn_idx % 7 <> 3
 """
 
 
+def q_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE WHERE over a day-partitioned table: whole days
+    before the cutoff drop by manifest metadata only; the straddling
+    day gets position deletes; the MoR scan must equal the plain SQL
+    filter. The function raises if the metadata fast path never fired."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_delwhere_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        res = delete_where(
+            spark, table, "ts < TIMESTAMP '2024-01-10 06:30:00'"
+        )
+        if res["dropped_files"] == 0 or res["deleted_rows"] == 0:
+            raise AssertionError(f"hybrid delete degenerated: {res}")
+        out = table.scan(spark).select(
+            "conv_id", "turn_idx", "role", F.unix_timestamp("ts").alias("ts_epoch")
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+DELETE_WHERE_ROUNDTRIP_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE ts >= TIMESTAMP '2024-01-10 06:30:00'
+"""
+
+
 def q_merge_into_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 end-to-end: a real MERGE INTO against an engine table —
     updates (key matched: old row dies via the equality delete, new row

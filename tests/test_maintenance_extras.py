@@ -69,3 +69,58 @@ def test_recommend_compaction_triggers(spark, tmp_warehouse):
     rec2 = recommend_compaction(t)
     assert rec2["action"] in ("major", "full")
     assert rec2["delete_ratio"] > 0
+
+
+def test_delete_where_hybrid(spark, tmp_warehouse):
+    """DELETE WHERE: files fully inside the predicate drop by metadata
+    only; straddling files get position deletes; untouched files keep
+    their rows. Scan equals a plain filter of the pre-delete content."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.sources.generator import create_transcripts_table
+
+    # ts_step=60s spreads 10k turns over ~7 day-partitions, so a mid
+    # cutoff fully covers earlier days (metadata drop) and straddles one
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "dw"), n_turns=10_000, n_convs=50,
+        n_files=10, partitioned=True, ts_step_s=60,
+    )
+    before = t.scan(spark).select("conv_id", "turn_idx", "text",
+                                  F.unix_timestamp("ts").alias("e")).collect()
+    all_ts = sorted(r["e"] for r in before)
+    cutoff_epoch = all_ts[len(all_ts) // 2]
+    import datetime as dt
+
+    cutoff = dt.datetime.utcfromtimestamp(cutoff_epoch).strftime("%Y-%m-%d %H:%M:%S")
+    n_files_before = len(t.files(content="data"))
+    res = delete_where(spark, t, f"ts < TIMESTAMP '{cutoff}'")
+    assert res["deleted_rows"] > 0
+    assert res["dropped_files"] > 0  # day-partitioned: old days drop whole
+    assert res["dropped_files"] < n_files_before
+    expected = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in before if r["e"] >= cutoff_epoch
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in t.scan(spark).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == expected
+    # no-match predicate: no new snapshot
+    sid = t.current_snapshot_id
+    res2 = delete_where(spark, t, "ts >= TIMESTAMP '2031-01-01 00:00:00'")
+    assert res2["deleted_rows"] == 0 and t.current_snapshot_id == sid
+    # compaction folds the position deletes in
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    CompactionRunner(
+        spark, t, CompactionConfig(selection=SelectionStrategy.FULL)
+    ).execute()
+    got2 = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in t.scan(spark).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got2 == expected
