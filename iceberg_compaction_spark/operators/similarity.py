@@ -101,6 +101,55 @@ def add_lsh_signature(
     return df.withColumn(out_col, _sig(F.col(vec_col)))
 
 
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k, matmul form: the (small) query matrix rides in a
+    closure; each corpus partition computes a batch × queries similarity
+    matrix with one numpy matmul and emits only its LOCAL top-k per
+    query; a global window keeps the true top-k. Versus the crossJoin +
+    interpreted higher-order aggregate: no |Q|×|corpus| row explosion
+    ever materializes and the arithmetic is BLAS, not expression
+    interpretation — the scale path when |Q| is hundreds+."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+            nrm = np.linalg.norm(mat, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = (mat @ q_mat.T) / np.outer(nrm, q_norm)  # (batch, q)
+            sims[ids[:, None] == q_ids[None, :]] = -np.inf  # no self-match
+            top = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # per query
+            rows = {
+                "query_id": np.repeat(q_ids[None, :], top, 0).ravel(),
+                "neighbor_id": ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=0).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["cosine"])]
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
     """pandas_udf: ids of the ``nprobe`` nearest centroids (by cosine)
     for each vector; the centroid matrix rides in the closure (small)."""

@@ -281,3 +281,21 @@ def test_winnow_fingerprints_guarantee(spark):
     for r in winnow_fingerprints(docs, k=5, window=4).collect():
         again.setdefault(r["doc_id"], set()).add(r["fingerprint_hash"])
     assert again == by_doc
+
+
+def test_brute_force_vectorized_matches_exact(spark, emb):
+    from iceberg_compaction_spark.operators.similarity import brute_force_topk_vectorized
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 6))
+        for r in brute_force_topk(e, queries, k=3).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 6))
+        for r in brute_force_topk_vectorized(e, queries, k=3).collect()
+    }
+    assert fast == exact
