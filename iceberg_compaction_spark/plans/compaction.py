@@ -355,12 +355,15 @@ class CompactionRunner:
             # snapshot lands immediately. No expected-parent pin —
             # sibling bins advance the table concurrently; safety comes
             # from removed-paths-still-live validation (bins never
-            # share inputs). Commits serialize on the table lock.
+            # share inputs). Commits serialize on the table lock, so
+            # with parallel bins every sibling contends at once — the
+            # retry budget must cover the whole convoy, not the default
+            # single-writer setting.
             self.table.commit(
                 "replace",
                 added=infos,
                 removed_paths=sorted(b.paths),
-                retries=cfg.commit_max_retries,
+                retries=max(16, cfg.commit_max_retries),
                 backoff_base_s=cfg.commit_backoff_base_s,
                 backoff_cap_s=cfg.commit_backoff_cap_s,
             )

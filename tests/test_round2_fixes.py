@@ -190,3 +190,25 @@ def test_worker_commit_mode(spark, tmp_warehouse, monkeypatch):
     ).execute()
     assert res.bins_total < n_bins  # committed bin's inputs not re-planned
     assert ordered_rows(t.scan(spark)) == before
+
+
+def test_worker_commit_parallel_bins(spark, tmp_warehouse):
+    """WorkerCommit with concurrent bin threads: every bin's commit
+    lands despite lock convoys, and the table equals the sequential
+    result."""
+    from iceberg_compaction_spark.config import CommitMode
+
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "wpar"), n_turns=12_000, n_convs=60, n_files=24
+    )
+    before = ordered_rows(t.scan(spark))
+    runner = CompactionRunner(
+        spark, t, small_cfg(commit_mode=CommitMode.WORKER_COMMIT)
+    )
+    bins = runner.plan()
+    assert len(bins) >= 3
+    snaps_before = len(t.snapshots())
+    res = runner.execute(parallel_bins=4)
+    assert res.bins_executed == len(bins)
+    assert len(t.snapshots()) - snaps_before >= len(bins)
+    assert ordered_rows(t.scan(spark)) == before
