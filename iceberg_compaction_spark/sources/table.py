@@ -743,8 +743,12 @@ class Table:
         METRICS.inc("scan.files_scanned", len(data_rows))
 
         if not data_rows:
-            empty = spark.createDataFrame([], schema=self.schema()).select(*user_cols)
-            return empty.filter(F.expr(filter)) if filter else empty
+            # physical schema so a filter referencing the partition
+            # column still resolves; user projection applied after
+            empty = spark.createDataFrame([], schema=self.physical_schema())
+            if filter:
+                empty = empty.filter(F.expr(filter))
+            return empty.select(*user_cols)
 
         need_pos = apply_mor_deletes and bool(pos_rows)
         need_eq = apply_mor_deletes and bool(eq_rows)

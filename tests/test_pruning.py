@@ -201,3 +201,23 @@ def test_parenthesized_conjuncts_parse():
     cj = parse_conjuncts("(a > 5 OR b < 3) AND c = 1")
     assert [(c[0], c[1]) for c in cj] == [("c", "=")]
     assert parse_conjuncts("((a >= 7))") == [("a", ">=", [("num", 7.0)])]
+
+
+def test_partition_column_filter_and_empty_prune(spark, tmp_warehouse):
+    """Filters on the materialized partition column prune and resolve —
+    including when pruning empties the file list entirely."""
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "partf"), n_turns=5_000, n_convs=20,
+        n_files=4, partitioned=True, ts_step_s=60,
+    )
+    parts = sorted({r["partition"] for r in t.files(content="data")})
+    assert len(parts) >= 3
+    n_files = len(t.files(content="data"))
+    one = t.scan(spark, filter=f"_part = '{parts[0]}'", columns=["conv_id", "turn_idx"])
+    assert one.count() > 0
+    assert 0 < t.last_scan_pruned_files < n_files
+    # predicate matching no partition: everything pruned, empty result,
+    # and the partition-column reference still resolves
+    none = t.scan(spark, filter="_part = '1999-01-01'")
+    assert none.count() == 0
+    assert t.last_scan_pruned_files == n_files
