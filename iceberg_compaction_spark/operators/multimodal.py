@@ -116,7 +116,70 @@ def extract_features(
     return media_df.mapInPandas(gen, schema=FEATURE_DDL)
 
 
-def resize_stub(media_df: DataFrame, w: int, h: int) -> DataFrame:
-    """Resize plumbing: passes metadata through with the new target
-    dims; the pixel transform itself is behind the decode stub."""
-    return media_df.withColumn("media_w", F.lit(w)).withColumn("media_h", F.lit(h))
+def resize(media_df: DataFrame, w: int, h: int, decode: str = "fake") -> DataFrame:
+    """Resize as a map-only ``mapInPandas`` stage with the full
+    bytes-in/bytes-out shape a real PIL resize would have. The pixel
+    transform is behind the decode stub: ``fake`` produces a
+    deterministic w×h-byte surrogate (payload tiled/truncated — sized
+    and batched exactly like real output), ``real`` raises where the
+    PIL call would go. Binary columns never shuffle; the output schema
+    equals the input schema with updated dims."""
+    if decode == "real":
+        _decode_real("image/*", b"")
+    target = max(1, w * h)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            out["media"] = [
+                bytes((np.frombuffer(p, dtype=np.uint8) if len(p) else np.zeros(1, np.uint8))[
+                    np.arange(target) % max(len(p), 1)
+                ])
+                for p in pdf["media"]
+            ]
+            out["media_w"] = np.int32(w)
+            out["media_h"] = np.int32(h)
+            yield out
+
+    return media_df.mapInPandas(gen, schema=media_df.schema)
+
+
+resize_stub = resize  # back-compat alias
+
+
+FRAME_DDL = "doc_id bigint, frame_idx int, frame_ms int, frame bytes".replace(
+    "bytes", "binary"
+)
+
+
+def sample_frames(
+    media_df: DataFrame, stride_ms: int = 330, max_frames: int = 16
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (doc_id, frame_idx, frame_ms, frame bytes), every ``stride_ms``
+    up to ``max_frames``. Decode is stubbed: each fake frame is a
+    deterministic slice of the payload keyed by the frame index, so
+    ordering/batching/explosion plumbing is fully real. Non-video rows
+    produce no frames. Map-only; the fan-out happens inside the Arrow
+    batch, never via a join."""
+    stride = max(1, stride_ms)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            for _, r in pdf.iterrows():
+                if not str(r["media_type"]).startswith("video"):
+                    continue
+                payload = r["media"] or b"\x00"
+                n = min(max_frames, max(1, int(r["media_ms"]) // stride))
+                for i in range(n):
+                    lo = (i * 97) % max(len(payload), 1)
+                    rows["doc_id"].append(r["doc_id"])
+                    rows["frame_idx"].append(i)
+                    rows["frame_ms"].append(i * stride)
+                    rows["frame"].append(bytes(payload[lo : lo + 64] or b"\x00"))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(gen, schema=FRAME_DDL)

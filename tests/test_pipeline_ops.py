@@ -299,3 +299,36 @@ def test_brute_force_vectorized_matches_exact(spark, emb):
         for r in brute_force_topk_vectorized(e, queries, k=3).collect()
     }
     assert fast == exact
+
+
+def test_multimodal_resize_and_frame_sampling(spark, docs):
+    from iceberg_compaction_spark.operators.multimodal import (
+        attach_fake_media,
+        resize,
+        sample_frames,
+    )
+
+    media = attach_fake_media(docs.limit(30))
+    small = resize(media, 8, 8)
+    rows = small.collect()
+    assert all(len(r["media"]) == 64 for r in rows)
+    assert all(r["media_w"] == 8 and r["media_h"] == 8 for r in rows)
+    # deterministic
+    assert sorted(r["media"] for r in resize(media, 8, 8).collect()) == sorted(
+        r["media"] for r in rows
+    )
+
+    frames = sample_frames(media, stride_ms=330, max_frames=5)
+    f = frames.collect()
+    assert f  # some docs are 'video/mp4'
+    n_videos = media.filter("media_type = 'video/mp4'").count()
+    by_doc = {}
+    for r in f:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == n_videos
+    for doc_rows in by_doc.values():
+        idxs = sorted(r["frame_idx"] for r in doc_rows)
+        assert idxs == list(range(len(idxs)))  # dense 0..n-1
+        assert len(idxs) <= 5
+        assert all(r["frame_ms"] == r["frame_idx"] * 330 for r in doc_rows)
+        assert all(isinstance(r["frame"], (bytes, bytearray)) and r["frame"] for r in doc_rows)
