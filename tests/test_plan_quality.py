@@ -83,3 +83,18 @@ def test_scan_filter_pushes_into_parquet(spark, tmp_warehouse):
     df = t.scan(spark, filter="turn_idx >= 100")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "turn_idx" in plan.split("PushedFilters")[1][:200]
+
+
+def test_ivf_plan_is_equi_join(spark):
+    """IVF's cell join must plan as an equi-join (broadcast or shuffled
+    hash), never a cartesian — the property that makes it the ANN scale
+    path."""
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(4)
+    plan = ivf_topk(emb, q, k=2, n_centroids=4, nprobe=2, iters=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
