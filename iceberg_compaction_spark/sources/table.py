@@ -181,6 +181,22 @@ class Table:
             json.dump(self.meta, f, indent=1)
         os.replace(tmp, os.path.join(self._meta_dir, "table.json"))
 
+    def set_partition_expr(self, expr: str | None) -> None:
+        """Partition evolution: change how FUTURE writes derive the
+        partition value (e.g. day → month), or stop partitioning with
+        ``None``. Existing files keep their old values — legal because
+        the partition value is a materialized per-file column, so
+        planning (bins never span partition values) and pruning (real
+        column bounds) are exact across the mixed layout; a full
+        rewrite migrates old files when wanted."""
+        if expr is None:
+            self.meta["partition"] = None
+        elif self.meta.get("partition"):
+            self.meta["partition"] = {**self.meta["partition"], "expr": expr}
+        else:
+            self.meta["partition"] = {"field": PART_COL, "expr": expr}
+        self._write_meta()
+
     def add_column(self, name: str, ddl_type: str) -> None:
         """Append a nullable column. Existing files never change; scans
         return NULL for rows written before the column existed."""

@@ -155,3 +155,46 @@ def test_schema_evolution_add_drop(spark, tmp_warehouse):
         t.add_column("score", "double")
     with _pytest.raises(VErr):
         t.drop_column("nope")
+
+
+def test_partition_evolution(spark, tmp_warehouse):
+    """Partition evolution: future writes use the new grain; old files
+    keep theirs; scans, pruning, and compaction stay exact over the
+    mixed layout because the partition value is a real per-file column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import (
+        create_transcripts_table,
+        transcripts_df,
+    )
+
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "pevo"), n_turns=4_000, n_convs=20,
+        n_files=4, partitioned=True, ts_step_s=3600,  # ~5 months of days
+    )
+    day_parts = {f["partition"] for f in t.files(content="data")}
+    assert all(len(p) == 10 for p in day_parts)  # yyyy-MM-dd
+    t.set_partition_expr("date_format(ts, 'yyyy-MM')")
+    t.append_dataframe(transcripts_df(spark, 500, 5, ts_step_s=3600).coalesce(1))
+    new_parts = {f["partition"] for f in t.files(content="data")} - day_parts
+    assert new_parts and all(len(p) == 7 for p in new_parts)  # yyyy-MM
+    assert t.scan(spark).count() == 4_500
+    # pruning still works across the mixed grain (ts bounds, not _part)
+    ts0 = t.scan(spark).agg(F.max("ts")).collect()[0][0]
+    got = t.scan(spark, filter=f"ts >= TIMESTAMP '{ts0}'")
+    assert got.count() >= 1 and t.last_scan_pruned_files > 0
+    # compaction over the mixed layout preserves content
+    before = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in t.scan(spark).select("conv_id", "turn_idx").collect()
+    )
+    CompactionRunner(
+        spark, t, CompactionConfig(selection=SelectionStrategy.FULL)
+    ).execute()
+    after = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in t.scan(spark).select("conv_id", "turn_idx").collect()
+    )
+    assert after == before
