@@ -62,12 +62,18 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+#: production default for the hot-shingle document-frequency cap: a
+#: shingle in ≤10⁴ docs contributes ≤ ~5·10⁷ candidate pairs — bounded
+#: fan-out at any corpus size. Oracle/exactness callers pass ``None``.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact pairwise Jaccard over shared shingles: candidate pairs are
     generated ONLY for documents sharing ≥1 shingle (equi-join on the
@@ -116,7 +122,7 @@ def ngram_jaccard_dedup(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Drop any document having a Jaccard-similar document with a
     smaller id (single-linkage approximated one level deep —
@@ -176,6 +182,50 @@ def minhash_signatures(
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature"))
 
 
+def candidate_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for GIVEN candidate pairs only — the verify step
+    of any LSH-style dedup. ``cand``: (id_a, id_b). Cost scales with
+    |candidates| × shingles-per-doc, never with corpus pair count:
+    shingles are computed only for docs appearing in ``cand`` (semi
+    join), and the common-shingle count joins candidates to the two
+    docs' shingle sets (equi-joins on id then (id, shingle)). Pairs
+    sharing zero shingles are emitted with jaccard 0."""
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(df.join(ids, id_col, "left_semi"), id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        cand.join(common, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("common"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("common"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -186,8 +236,11 @@ def minhash_lsh_dedup(
     verify_threshold: float | None = 0.7,
 ) -> DataFrame:
     """MinHash-LSH near-dup removal: docs sharing any band signature
-    are candidates; optionally verified with exact Jaccard; the larger
-    id of each surviving pair is dropped."""
+    are candidates; optionally verified with exact Jaccard computed for
+    the CANDIDATE PAIRS ONLY (``candidate_jaccard`` — verify cost is
+    O(|candidates|), preserving the bounding LSH exists for; a corpus-
+    wide pair join here would re-introduce the quadratic path); the
+    larger id of each surviving pair is dropped."""
     sigs = minhash_signatures(df, id_col, text_col, n, bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "signature")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "signature")
@@ -198,8 +251,7 @@ def minhash_lsh_dedup(
         .distinct()
     )
     if verify_threshold is not None:
-        jac = ngram_jaccard_pairs(df, id_col, text_col, n)
-        cand = cand.join(jac, ["id_a", "id_b"]).filter(
+        cand = candidate_jaccard(df, cand, id_col, text_col, n).filter(
             F.col("jaccard") >= verify_threshold
         )
     victims = cand.select(F.col("id_b").alias(id_col)).distinct()

@@ -29,33 +29,17 @@ from iceberg_compaction_spark.sources import scan as scan_mod
 from iceberg_compaction_spark.sources.table import Table
 
 
-def _file_fully_matches(stats: dict, conjuncts) -> bool:
-    """True only when the bounds PROVE every row satisfies each
-    conjunct (min and max both inside; zero nulls known). Conservative:
-    anything uncertain is treated as straddling."""
-    for col, op, lits in conjuncts:
-        st = stats.get(col)
-        if st is None or st.get("min") is None or st.get("max") is None:
-            return False
-        if st.get("nulls") != 0:
-            return False
-        lo_ok = pruning.file_may_match({col: {"min": st["min"], "max": st["min"], "nulls": 0}}, [(col, op, lits)])
-        hi_ok = pruning.file_may_match({col: {"min": st["max"], "max": st["max"], "nulls": 0}}, [(col, op, lits)])
-        # for range ops, min and max each satisfying the predicate ⇒
-        # every value between does; for = / in that holds only when
-        # min == max (single-valued file)
-        if op in ("=", "in") and st["min"] != st["max"]:
-            return False
-        if not (lo_ok and hi_ok):
-            return False
-    return True
-
-
 def delete_where(spark: SparkSession, table: Table, predicate: str) -> dict:
     """Delete all rows matching ``predicate`` in one atomic commit.
     Returns {"dropped_files": n, "deleted_rows": m, "snapshot_id": sid}.
-    """
-    conjuncts = pruning.parse_conjuncts(predicate)
+
+    The whole-file fast path uses ``pruning.file_all_match`` — the
+    STRICT evaluator whose uncertainty default is "don't drop": unknown
+    bounds, type-mismatched literals, big-int precision, or any
+    conjunct the parser couldn't model all force the file onto the
+    row-scanned straddling path (the may-match convention that is
+    conservative for pruning would be anti-conservative here)."""
+    disjuncts = pruning.parse_predicate(predicate)
     data_rows = table.files(content=mf.CONTENT_DATA)
 
     full_drop: list[str] = []
@@ -65,9 +49,9 @@ def delete_where(spark: SparkSession, table: Table, predicate: str) -> dict:
             stats = json.loads(r.get("stats_json") or "{}")
         except ValueError:
             stats = {}
-        if not pruning.file_may_match(stats, conjuncts):
+        if not pruning.file_may_match_any(stats, disjuncts):
             continue  # provably no matching row: untouched
-        if conjuncts and _file_fully_matches(stats, conjuncts):
+        if pruning.file_all_match(stats, disjuncts):
             full_drop.append(r["path"])
         else:
             candidates.append(r)

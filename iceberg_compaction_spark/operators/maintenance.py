@@ -90,7 +90,13 @@ def expire_snapshots(
                 os.unlink(p)
                 deleted += 1
         for mp in (table._manifest_path(sid), table._delta_path(sid)):
-            if os.path.exists(mp):
+            # sharded bases are directories; hard-linked shards shared
+            # with retained snapshots survive this unlink by link count
+            if os.path.isdir(mp):
+                import shutil
+
+                shutil.rmtree(mp)
+            elif os.path.exists(mp):
                 os.unlink(mp)
         os.unlink(table._snap_path(sid))
     return ExpiryResult(expired, retained, deleted, deleted_bytes)
@@ -150,27 +156,35 @@ def clean_dangling_deletes(spark: SparkSession, table: Table) -> int:
     added: list[mf.FileInfo] = []
 
     if pos_rows:
-        pos_df = scan_mod.read_position_deletes(spark, [r["path"] for r in pos_rows])
-        # join against a paths DataFrame, not a 10^5-element In-literal:
-        # the live-path set is manifest-sized metadata, broadcastable
-        live_df = spark.createDataFrame(
-            [(p,) for p in sorted(data_paths)], f"{FILE_COL} string"
-        )
-        live_refs = pos_df.join(F.broadcast(live_df), on=FILE_COL, how="left_semi")
-        n_total = pos_df.count()
-        n_live = live_refs.count()
-        if n_live < n_total:
-            removed += [r["path"] for r in pos_rows]
-            if n_live > 0:
-                infos = table.write_delete_files(
-                    live_refs, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL
-                )
-                # keep original ordering semantics: position deletes are
-                # seq-agnostic, but preserve the max source seq anyway
-                max_seq = max(r["sequence_number"] for r in pos_rows)
-                for fi in infos:
-                    fi.sequence_number = max_seq
-                added += infos
+        # persist: the delete parquets feed two counts plus a possible
+        # rewrite — one scan, not three
+        pos_df = scan_mod.read_position_deletes(
+            spark, [r["path"] for r in pos_rows]
+        ).persist()
+        try:
+            # join against a paths DataFrame, not a 10^5-element
+            # In-literal: the live-path set is manifest-sized metadata,
+            # broadcastable
+            live_df = spark.createDataFrame(
+                [(p,) for p in sorted(data_paths)], f"{FILE_COL} string"
+            )
+            live_refs = pos_df.join(F.broadcast(live_df), on=FILE_COL, how="left_semi")
+            n_total = pos_df.count()
+            n_live = live_refs.count()
+            if n_live < n_total:
+                removed += [r["path"] for r in pos_rows]
+                if n_live > 0:
+                    infos = table.write_delete_files(
+                        live_refs, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL
+                    )
+                    # keep original ordering semantics: position deletes
+                    # are seq-agnostic, but preserve the max source seq
+                    max_seq = max(r["sequence_number"] for r in pos_rows)
+                    for fi in infos:
+                        fi.sequence_number = max_seq
+                    added += infos
+        finally:
+            pos_df.unpersist()
 
     for r in (r for r in man if r["content"] == mf.CONTENT_EQ_DEL):
         if min_data_seq is None or r["sequence_number"] <= min_data_seq:

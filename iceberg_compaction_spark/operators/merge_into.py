@@ -10,19 +10,27 @@ folds the delete in.
 
 Semantics (keyed on (conv_id, turn_idx) per the north rule):
   * whenMatched → update: old row dies via the eq delete, new row wins;
-  * whenNotMatched → insert: eq delete for its key matches nothing;
+  * whenNotMatched → insert: no delete row is written for keys the
+    manifest bounds prove absent from the target (an insert-heavy MERGE
+    must not inflate the delete set every subsequent scan resolves);
   * source duplicates: latest-wins dedup by a window over the key
     (SURVEY.md §2.5), deterministic via an explicit precedence column.
 """
 
 from __future__ import annotations
 
+import json
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources.table import Table
+
+#: above this many merged key-range intervals the scoping predicate
+#: stops paying for itself — fall back to deletes-for-all-keys
+_MAX_SCOPE_INTERVALS = 64
 
 
 def dedup_source(source: DataFrame, keys: Sequence[str], precedence: str | None = None) -> DataFrame:
@@ -39,27 +47,81 @@ def dedup_source(source: DataFrame, keys: Sequence[str], precedence: str | None 
     return source
 
 
+def _target_key_intervals(table: Table, key: str) -> list[tuple] | None:
+    """Merged [min, max] intervals of ``key`` across the target's live
+    data files, from manifest bounds only (no data read). ``None`` when
+    any file lacks bounds (scoping impossible); ``[]`` for an empty
+    target (nothing can match)."""
+    intervals: list[tuple] = []
+    for r in table.files(content=mf.CONTENT_DATA):
+        try:
+            st = json.loads(r.get("stats_json") or "{}").get(key)
+        except ValueError:
+            return None
+        if not st or st.get("min") is None or st.get("max") is None:
+            return None
+        intervals.append((st["min"], st["max"]))
+    if not intervals:
+        return []
+    intervals.sort()
+    merged = [list(intervals[0])]
+    for lo, hi in intervals[1:]:
+        if lo <= merged[-1][1]:
+            if hi > merged[-1][1]:
+                merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    return [tuple(m) for m in merged]
+
+
+def _scope_condition(key: str, intervals: list[tuple]) -> Column:
+    cond = None
+    for lo, hi in intervals:
+        c = F.col(key).between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 def merge_into(
     table: Table,
     source: DataFrame,
     keys: Sequence[str],
     precedence: str | None = None,
     delete_matched_only: bool = False,
+    scope_deletes: bool = True,
 ) -> int:
     """Upsert ``source`` into ``table`` keyed by ``keys``. Returns the
     new snapshot id. One commit carries both the equality-delete file
-    and the new data files (atomic upsert).
+    and the new data files (atomic upsert). MERGE costs O(source), not
+    O(table) — the target is never scanned, only its manifest bounds.
+
+    ``scope_deletes`` (default): delete rows are written only for
+    source keys whose first key column falls inside some live data
+    file's [min, max] — a conservative superset of the matched keys
+    from metadata alone. An insert-only MERGE (empty target or disjoint
+    key ranges) therefore commits ZERO delete files. Like Iceberg's
+    copy-on-write MERGE, the match set is evaluated against the current
+    snapshot; concurrent writers need snapshot validation on top.
 
     ``delete_matched_only=True`` turns this into MERGE ... WHEN MATCHED
     THEN DELETE (no inserts) — the source rows are pure key tombstones.
     """
     src = dedup_source(source, keys, precedence)
 
-    # 1. equality-delete file for all source keys (unmatched keys are
-    #    harmless no-ops in the anti-join, so no target scan is needed —
-    #    MERGE costs O(source), not O(table))
-    del_dir_keys = src.select(*keys)
-    infos_del = table_write_eq_delete(table, del_dir_keys, keys)
+    # 1. equality-delete file for source keys that may exist in the
+    #    target (manifest-bounds semi-scope; unmatched survivors are
+    #    harmless no-ops in the anti-join)
+    del_keys = src.select(*keys)
+    if scope_deletes:
+        intervals = _target_key_intervals(table, keys[0])
+        if intervals is not None and len(intervals) <= _MAX_SCOPE_INTERVALS:
+            if not intervals:
+                del_keys = None  # empty target: pure insert
+            else:
+                del_keys = del_keys.filter(_scope_condition(keys[0], intervals))
+    infos_del = [] if del_keys is None else table_write_eq_delete(table, del_keys, keys)
+    if sum(fi.record_count for fi in infos_del) == 0:
+        infos_del = []  # nothing in scope: don't commit empty delete files
 
     # 2. new data files for the source rows (skipped for pure deletes)
     infos_data = [] if delete_matched_only else table.write_data_files(src)
@@ -68,8 +130,6 @@ def merge_into(
 
 
 def table_write_eq_delete(table: Table, keys_df: DataFrame, keys: Sequence[str]):
-    from iceberg_compaction_spark.sources import manifest as mf
-
     # size-based fan-out (Table.DELETE_ROWS_PER_FILE): a MERGE with a
     # 10^9-row source writes ~128 eq-delete files in parallel instead of
     # funnelling the whole delete set through one task

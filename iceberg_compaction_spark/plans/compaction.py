@@ -321,15 +321,18 @@ class CompactionRunner:
             avg_row = b.total_bytes / max(b.record_count, 1)
         rows_per_file = int(cfg.records_per_file(avg_row) * 1.5)
         safe = b.bin.replace("/", "_").replace("#", "_")
-        out_dir = os.path.join(self.table.data_dir, f"run-{run_id}", f"bin-{safe}")
-        # crash safety mid-bin: a crash during the write (or between the
-        # write and its checkpoint row) leaves a partial dir; this bin
-        # has no 'done' row (we only run bins that lack one), so the
-        # stale dir is re-creatable state — clear it and rewrite
-        if os.path.exists(out_dir):
-            import shutil
-
-            shutil.rmtree(out_dir)
+        # out_dir is unique PER ATTEMPT (uuid suffix), never reused:
+        # in WorkerCommit mode a resumed run re-plans from the current
+        # snapshot with an empty checkpoint, so a bin NAME can recur
+        # while its previous attempt's files are already committed and
+        # live — deleting a name-keyed dir would unlink live data.
+        # A crash mid-write leaves a partial dir that nothing
+        # references; clean_orphan_files sweeps it.
+        out_dir = os.path.join(
+            self.table.data_dir,
+            f"run-{run_id}",
+            f"bin-{safe}-{uuid.uuid4().hex[:8]}",
+        )
         tw = time.time()
         (
             df.write.mode("error")

@@ -14,13 +14,28 @@ difference between a metadata-sized plan and a full-table scan at
 Design rules:
   * **Conservative always.** Pruning may only drop a file when the
     bounds *prove* no row can match. Anything unparseable, any unknown
-    bound, any non-conjunctive structure (top-level OR) ⇒ keep.
+    bound, any structure we don't model ⇒ keep.
   * Pruning is an optimization layered under the real filter: the scan
     still applies the full predicate to surviving rows, so a
     no-op pruner is merely slower, never wrong.
-  * Supported conjuncts: ``col <op> literal`` for ``= == < <= > >=``,
-    ``col IN (...)``, ``col IS NULL`` — ANDed at the top level.
-    Literals: numbers, 'strings', TIMESTAMP '...' / DATE '...'.
+  * Predicates are decomposed as a top-level OR of ANDs (the common
+    backfill shape ``(ts BETWEEN a AND b) OR (ts BETWEEN c AND d)``
+    prunes per disjunct, union of survivors). Supported conjuncts:
+    ``col <op> literal`` for ``= == < <= > >=``, ``col BETWEEN x AND
+    y``, ``col IN (...)``, ``col IS NULL``. Literals: numbers,
+    'strings', TIMESTAMP '...' / DATE '...'; bare string literals
+    shaped like datetimes compare as timestamps (Spark casts them when
+    the column is a timestamp, and the manifest stores isoformat-'T'
+    bounds — comparing raw would make ``ts <= '2024-06-02 23:59:59'``
+    wrongly prune every file because ' ' < 'T').
+
+Two evaluators with opposite defaults:
+  * ``file_may_match`` / ``file_may_match_any`` — uncertainty ⇒ True
+    (keep the file). Used for scan pruning.
+  * ``file_all_match`` — uncertainty ⇒ False (don't claim the file).
+    Used by DELETE WHERE's whole-file metadata drop, where an
+    optimistic answer deletes live rows. Integer comparisons are
+    performed losslessly (no float round-trip: 2^53+1 ≠ 2^53).
 """
 
 from __future__ import annotations
@@ -35,31 +50,62 @@ _IN_RE = re.compile(
     rf"^\s*`?(\w+)`?\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)\s*$", re.IGNORECASE
 )
 _ISNULL_RE = re.compile(r"^\s*`?(\w+)`?\s+IS\s+NULL\s*$", re.IGNORECASE)
+_BETWEEN_RE = re.compile(
+    rf"^\s*`?(\w+)`?\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})\s*$", re.IGNORECASE
+)
 _LIT_FINDER = re.compile(_LIT, re.IGNORECASE)
 
+# bare string literal / bound that denotes a timestamp/date instant
+# (optionally suffixed with a UTC offset, as tz-aware isoformat bounds are)
+_TS_SHAPED = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|\+00:00)?)?$"
+)
 
-def _split_top_level_and(expr: str) -> list[str] | None:
-    """Split on top-level ANDs (outside quotes/parens). A top-level OR
-    or NOT makes the whole expression non-conjunctive → None (no
-    pruning; the residual filter still enforces it)."""
+
+def _norm_ts(s: str) -> str:
+    """One canonical instant text: 'T' separator, UTC suffix stripped
+    (the engine session and the manifest writer are both UTC)."""
+    s = s.replace(" ", "T")
+    if s.endswith("+00:00"):
+        s = s[:-6]
+    elif s.endswith("Z"):
+        s = s[:-1]
+    return s
+
+#: sentinel for a conjunct the parser couldn't model. May-match ignores
+#: it (keeps the file); all-match treats its presence as "cannot prove".
+UNPARSED = ("__unparsed__", "?", ())
+
+
+def _split_top_level(expr: str, sep: str) -> list[str] | None:
+    """Split on top-level ``sep`` ('AND' or 'OR') outside quotes and
+    parens. A top-level NOT ⇒ None (structure we don't model). When
+    splitting on AND, the AND belonging to a BETWEEN is not a
+    separator."""
     parts: list[str] = []
     buf: list[str] = []
     depth = 0
-    quote: str | None = None
+    pending_between = False
     tokens = re.split(r"(\s+|\(|\)|'[^']*'|\"[^\"]*\")", expr)
     for tok in tokens:
         if tok is None or tok == "":
             continue
-        if quote is None and tok == "(":
+        if tok == "(":
             depth += 1
-        elif quote is None and tok == ")":
+        elif tok == ")":
             depth -= 1
         up = tok.upper()
-        if depth == 0 and up == "AND":
+        if depth == 0 and up == "BETWEEN":
+            pending_between = True
+        if depth == 0 and up == "AND" and pending_between:
+            pending_between = False
+            buf.append(tok)
+            continue
+        if depth == 0 and up == sep:
             parts.append("".join(buf))
             buf = []
             continue
-        if depth == 0 and up in ("OR", "NOT"):
+        if depth == 0 and up == "NOT":
             return None
         buf.append(tok)
     parts.append("".join(buf))
@@ -67,14 +113,22 @@ def _split_top_level_and(expr: str) -> list[str] | None:
 
 
 def _parse_literal(s: str):
-    """→ (kind, value) with kind in {'num','str','ts'}."""
+    """→ (kind, value) with kind in {'num','str','ts'}. Integer
+    literals stay Python ints (lossless beyond 2^53); bare string
+    literals shaped like datetimes are normalized to kind 'ts' with a
+    'T' separator so they compare correctly against isoformat bounds."""
     s = s.strip()
     up = s.upper()
     if up.startswith("TIMESTAMP") or up.startswith("DATE"):
         inner = s.split("'", 1)[1].rsplit("'", 1)[0]
-        return ("ts", inner.replace(" ", "T"))
+        return ("ts", _norm_ts(inner))
     if s and s[0] in "'\"":
-        return ("str", s[1:-1])
+        inner = s[1:-1]
+        if _TS_SHAPED.match(inner):
+            return ("ts", _norm_ts(inner))
+        return ("str", inner)
+    if re.fullmatch(r"[-+]?\d+", s):
+        return ("num", int(s))
     return ("num", float(s))
 
 
@@ -93,48 +147,90 @@ def _strip_outer_parens(s: str) -> str:
     return s
 
 
-def parse_conjuncts(expr: str) -> list[tuple]:
-    """→ [(col, op, [(kind, value), ...])]; op in {'=','<','<=','>','>=',
-    'in','isnull'}. Conjuncts that don't parse are silently dropped
-    (they prune nothing; the residual filter enforces them)."""
-    parts = _split_top_level_and(expr)
-    if parts is None:
-        return []
-    out: list[tuple] = []
-    for p in (_strip_outer_parens(x) for x in parts):
-        if (m := _CMP_RE.match(p)) is not None:
-            op = "=" if m.group(2) == "==" else m.group(2)
-            try:
-                out.append((m.group(1), op, [_parse_literal(m.group(3))]))
-            except ValueError:
-                pass
-        elif (m := _IN_RE.match(p)) is not None:
-            try:
-                lits = [_parse_literal(x) for x in _LIT_FINDER.findall(m.group(2))]
-                out.append((m.group(1), "in", lits))
-            except ValueError:
-                pass
-        elif (m := _ISNULL_RE.match(p)) is not None:
-            out.append((m.group(1), "isnull", []))
+def _parse_one_conjunct(p: str) -> tuple | None:
+    """One atomic predicate → (col, op, lits) or None (unparseable).
+    BETWEEN returns a synthetic ('between') op expanded by the caller."""
+    if (m := _CMP_RE.match(p)) is not None:
+        op = "=" if m.group(2) == "==" else m.group(2)
+        try:
+            return (m.group(1), op, [_parse_literal(m.group(3))])
+        except ValueError:
+            return None
+    if (m := _BETWEEN_RE.match(p)) is not None:
+        try:
+            return (m.group(1), "between", [_parse_literal(m.group(2)), _parse_literal(m.group(3))])
+        except ValueError:
+            return None
+    if (m := _IN_RE.match(p)) is not None:
+        try:
+            lits = [_parse_literal(x) for x in _LIT_FINDER.findall(m.group(2))]
+            return (m.group(1), "in", lits)
+        except ValueError:
+            return None
+    if (m := _ISNULL_RE.match(p)) is not None:
+        return (m.group(1), "isnull", [])
+    return None
+
+
+def parse_predicate(expr: str) -> list[list[tuple]] | None:
+    """Decompose a predicate as a top-level OR of ANDs →
+    ``[disjunct, ...]`` where each disjunct is ``[(col, op, lits), ...]``
+    possibly containing the ``UNPARSED`` sentinel. None when the
+    expression can't be decomposed at all (top-level NOT)."""
+    dis = _split_top_level(expr, "OR")
+    if dis is None:
+        return None
+    out: list[list[tuple]] = []
+    for d in dis:
+        parts = _split_top_level(_strip_outer_parens(d), "AND")
+        if parts is None:
+            out.append([UNPARSED])
+            continue
+        conj: list[tuple] = []
+        for p in (_strip_outer_parens(x) for x in parts):
+            c = _parse_one_conjunct(p)
+            if c is None:
+                conj.append(UNPARSED)
+            elif c[1] == "between":
+                col, _, (lo, hi) = c
+                conj.append((col, ">=", [lo]))
+                conj.append((col, "<=", [hi]))
+            else:
+                conj.append(c)
+        out.append(conj)
     return out
+
+
+def parse_conjuncts(expr: str) -> list[tuple]:
+    """Back-compat single-conjunction view: the parsed conjuncts when
+    the predicate is one top-level conjunction (unparseable members
+    dropped — they prune nothing), else [] (no pruning)."""
+    d = parse_predicate(expr)
+    if d is None or len(d) != 1:
+        return []
+    return [c for c in d[0] if c is not UNPARSED]
 
 
 def _compare(bound, kind: str, lit) -> int | None:
     """cmp(bound, literal) → -1/0/1, or None when incomparable (prune
-    nothing). Timestamp bounds are stored isoformat; TIMESTAMP/DATE
-    literals are normalized to the same 'T' form, so lexicographic
-    order is chronological. Plain string literals compare raw."""
+    nothing). Timestamp bounds are stored isoformat; ts-kind literals
+    are normalized to the same 'T' form, so lexicographic order is
+    chronological. Numeric comparisons are exact (Python int↔float
+    comparison is lossless, no float(round-trip) of big ints)."""
     if bound is None:
         return None
     if kind == "num":
-        try:
-            bound = float(bound)
-        except (TypeError, ValueError):
-            return None
+        if isinstance(bound, bool) or not isinstance(bound, (int, float)):
+            try:
+                s = str(bound)
+                bound = int(s) if re.fullmatch(r"[-+]?\d+", s) else float(s)
+            except (TypeError, ValueError):
+                return None
     else:
-        bound = str(bound)
+        if not isinstance(bound, str):
+            bound = str(bound)
         if kind == "ts":
-            bound = bound.replace(" ", "T")
+            bound = _norm_ts(bound)
             # align precision so a DATE literal compares as midnight
             # against timestamp bounds (and vice versa): without this,
             # a file whose min is exactly midnight would be wrongly
@@ -157,8 +253,11 @@ def _eq_possible(st: dict, kind: str, lit) -> bool:
 
 
 def file_may_match(stats: dict, conjuncts: list[tuple]) -> bool:
-    """True unless the file's bounds prove a conjunct can't hold."""
+    """True unless the file's bounds prove a conjunct can't hold.
+    ``conjuncts`` is a single conjunction (AND list)."""
     for col, op, lits in conjuncts:
+        if (col, op) == (UNPARSED[0], UNPARSED[1]):
+            continue  # unknown conjunct can't exclude
         st = stats.get(col)
         if st is None:
             continue  # no bounds for this column → can't exclude
@@ -186,13 +285,101 @@ def file_may_match(stats: dict, conjuncts: list[tuple]) -> bool:
     return True
 
 
+def file_may_match_any(stats: dict, disjuncts: list[list[tuple]] | None) -> bool:
+    """OR-of-ANDs form: the file survives if any disjunct may match.
+    ``None`` (undecomposable predicate) keeps everything."""
+    if disjuncts is None or not disjuncts:
+        return True
+    return any(file_may_match(stats, d) for d in disjuncts)
+
+
+# ----------------------------------------------------------------------
+# strict evaluator: does the predicate provably hold for EVERY row?
+def _strict_compare(bound, kind: str, lit) -> int | None:
+    """Like _compare but refuses anything not provably type-aligned:
+    a 'num' literal against a non-numeric bound (string column) is
+    incomparable → None, which the all-match caller treats as
+    'cannot prove'. No float conversion of integer bounds."""
+    if bound is None or isinstance(bound, bool):
+        return None
+    if kind == "num":
+        if not isinstance(bound, (int, float)):
+            return None
+        return (bound > lit) - (bound < lit)
+    if not isinstance(bound, str):
+        return None
+    if kind == "ts":
+        if not _TS_SHAPED.match(bound):
+            return None
+        bound = _norm_ts(bound)
+        if "T" in bound and "T" not in lit:
+            lit = lit + "T00:00:00"
+        elif "T" in lit and "T" not in bound:
+            bound = bound + "T00:00:00"
+    return (bound > lit) - (bound < lit)
+
+
+def _conjunct_all_match(st: dict, op: str, lits) -> bool:
+    """True only when [min, max] with zero nulls PROVES every row
+    satisfies the conjunct."""
+    if st is None or st.get("min") is None or st.get("max") is None:
+        return False
+    if st.get("nulls") != 0:  # unknown or nonzero nulls: a null row fails any comparison
+        return False
+    mn, mx = st["min"], st["max"]
+    if op == "isnull":
+        return False  # min/max present ⇒ non-null rows exist
+    if op in ("=", "in"):
+        if mn != mx:
+            return False
+        if op == "=":
+            k, v = lits[0]
+            c = _strict_compare(mn, k, v)
+            return c == 0
+        return any(_strict_compare(mn, k, v) == 0 for k, v in lits)
+    k, v = lits[0]
+    c_min = _strict_compare(mn, k, v)
+    c_max = _strict_compare(mx, k, v)
+    if c_min is None or c_max is None:
+        return False
+    if op == "<":
+        return c_max < 0
+    if op == "<=":
+        return c_max <= 0
+    if op == ">":
+        return c_min > 0
+    if op == ">=":
+        return c_min >= 0
+    return False
+
+
+def file_all_match(stats: dict, disjuncts: list[list[tuple]] | None) -> bool:
+    """True only when some disjunct provably holds for EVERY row of the
+    file. Anti-conservative direction: any uncertainty — unknown
+    bounds, unknown null count, type mismatch, an UNPARSED conjunct —
+    ⇒ False. Used by DELETE WHERE's metadata whole-file drop."""
+    if disjuncts is None or not disjuncts:
+        return False
+    for d in disjuncts:
+        if not d:
+            continue
+        if any(c is UNPARSED for c in d):
+            continue
+        if all(_conjunct_all_match(stats.get(col), op, lits) for col, op, lits in d):
+            return True
+    return False
+
+
 def prune_files(rows: list[dict], filter_expr: str) -> tuple[list[dict], int]:
     """(surviving manifest rows, pruned count) for a scan predicate.
     ``rows`` are data-file manifest entries carrying ``stats_json``."""
     import json
 
-    conjuncts = parse_conjuncts(filter_expr)
-    if not conjuncts:
+    disjuncts = parse_predicate(filter_expr)
+    if disjuncts is None:
+        return rows, 0
+    # a disjunct of only-UNPARSED conjuncts may match anything: no pruning
+    if any(all(c is UNPARSED for c in d) for d in disjuncts):
         return rows, 0
     kept = []
     for r in rows:
@@ -200,6 +387,6 @@ def prune_files(rows: list[dict], filter_expr: str) -> tuple[list[dict], int]:
             stats = json.loads(r.get("stats_json") or "{}")
         except ValueError:
             stats = {}
-        if file_may_match(stats, conjuncts):
+        if file_may_match_any(stats, disjuncts):
             kept.append(r)
     return kept, len(rows) - len(kept)

@@ -85,7 +85,69 @@ def write_manifest(rows: Iterable[dict], path: str) -> None:
     pq.write_table(table, path)
 
 
+def _shard_name(partition: str) -> str:
+    import hashlib
+
+    return f"shard-{hashlib.md5(partition.encode()).hexdigest()[:16]}.parquet"
+
+
+def write_manifest_sharded(
+    rows: Iterable[dict],
+    dir_path: str,
+    reuse: dict | None = None,
+    touched: set | None = None,
+) -> tuple[dict, int, int]:
+    """Write a base manifest as a DIRECTORY of per-partition shards →
+    ({partition: shard_path}, shards_written, shards_reused).
+
+    The point (Iceberg's partition-scoped manifests,
+    ``LEARNING_AND_ARCHITECTURE.md:795-799`` stretch envelope): when a
+    delta chain collapses into a new base, partitions untouched since
+    the previous base keep their EXACT row set — their shards are
+    hard-linked from ``reuse`` (zero serialization IO, one inode op)
+    instead of rewritten, so the periodic collapse a high-commit-rate
+    table performs under the commit lock costs O(changed partitions),
+    not O(table files). Hard links are per-snapshot names: expiring one
+    snapshot's directory never disturbs another's.
+
+    ``reuse``: {partition: existing shard file} from the ancestor base.
+    ``touched``: partitions whose contents changed since that base —
+    only these (plus partitions with no reusable shard) are rewritten.
+    """
+    reuse = reuse or {}
+    touched = touched if touched is not None else set()
+    by_part: dict[str, list] = {}
+    for r in rows:
+        by_part.setdefault(r.get("partition") or "", []).append(r)
+    os.makedirs(dir_path, exist_ok=True)
+    shards: dict[str, str] = {}
+    written = reused = 0
+    if not by_part:  # empty table: one empty shard so readers see the schema
+        p = os.path.join(dir_path, _shard_name(""))
+        pq.write_table(MANIFEST_SCHEMA.empty_table(), p)
+        return {"": p}, 1, 0
+    for part, part_rows in sorted(by_part.items()):
+        dst = os.path.join(dir_path, _shard_name(part))
+        src = reuse.get(part)
+        if src is not None and part not in touched and os.path.exists(src):
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device / fs without links: copy
+                import shutil
+
+                shutil.copyfile(src, dst)
+            shards[part] = dst
+            reused += 1
+            continue
+        pq.write_table(pa.Table.from_pylist(part_rows, schema=MANIFEST_SCHEMA), dst)
+        shards[part] = dst
+        written += 1
+    return shards, written, reused
+
+
 def read_manifest(path: str) -> list[dict]:
+    """Read a base manifest — a single parquet file or a sharded
+    directory (pyarrow reads either)."""
     return pq.read_table(path).to_pylist()
 
 
@@ -155,6 +217,13 @@ def _footer_stats(path: str) -> tuple[int, int, str]:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    # Unknowns poison the aggregate: if ANY row group omits a stat for
+    # a column, the file-level value is unknown (None), never a partial
+    # aggregate — a partial min isn't a bound (the silent row group may
+    # hold smaller values) and a partial null sum of 0 reads as
+    # known-zero, wrongly pruning IS NULL conjuncts.
+    unknown_bounds: set = set()
+    unknown_nulls: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -163,19 +232,31 @@ def _footer_stats(path: str) -> tuple[int, int, str]:
             if "." in name:  # nested: excluded, like the reference
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                unknown_bounds.add(name)
+                unknown_nulls.add(name)
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                unknown_nulls.add(name)
+            if not st.has_min_max:
+                # all-null chunks legitimately carry no min/max and
+                # exclude no values; anything else is a true unknown
+                if st.null_count is None or st.null_count < g.num_rows:
+                    unknown_bounds.add(name)
                 continue
             mn, mx = _json_safe(st.min), _json_safe(st.max)
             if name not in mins or (mn is not None and mn < mins[name]):
                 mins[name] = mn
             if name not in maxs or (mx is not None and mx > maxs[name]):
                 maxs[name] = mx
-            if st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
-    # nulls: None when the footer carried no null_count (unknown ≠ 0 —
-    # the pruner may only drop an IS NULL conjunct on a *known* zero)
     stats = {
-        c: {"min": mins.get(c), "max": maxs.get(c), "nulls": nulls.get(c)}
+        c: {
+            "min": None if c in unknown_bounds else mins.get(c),
+            "max": None if c in unknown_bounds else maxs.get(c),
+            "nulls": None if c in unknown_nulls else nulls.get(c),
+        }
         for c in set(mins) | set(maxs)
     }
     return md.num_rows, os.path.getsize(path), json.dumps(stats, sort_keys=True, default=str)

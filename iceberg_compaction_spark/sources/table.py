@@ -26,7 +26,9 @@ Layout under ``<location>/``::
     meta/table.json                    schema + partition spec
     meta/current.json                  CAS pointer {current_snapshot_id, sequence_number}
     meta/snap-<sid>.json               snapshot metadata + summary
-    meta/manifest-<sid>.parquet        full file listing at snapshot sid
+    meta/manifest-<sid>.parquet/       base manifest: one shard per
+                                       partition (dir of parquets)
+    meta/delta-<sid>.parquet           delta manifest (adds+tombstones)
     meta/checkpoints/                  per-run lineage (plans/compaction.py)
 
 Partitioning: identity on a *materialized* partition column (default
@@ -35,13 +37,14 @@ values in metadata; materializing the column keeps explicit-file-list
 scans trivially correct and costs ~10 bytes/row — a documented
 deviation. Scans drop it from user-facing output.
 
-Scale notes: manifests are single Parquet files rewritten per commit —
-fine to ~10^6 files (the reference's own stretch target,
-``LEARNING_AND_ARCHITECTURE.md:795-799``); planning can read them as
-Spark DataFrames (``files_df``) so no driver bottleneck in the plan
-itself. At larger file counts the format would grow manifest-list +
-delta manifests, which `rewrite_manifests` (operators/maintenance.py)
-already models.
+Scale notes (reference stretch target ~10^6 files,
+``LEARNING_AND_ARCHITECTURE.md:795-799``): commits write delta
+manifests (O(changed files)); every ``DELTA_CHAIN_MAX`` commits the
+chain collapses into a base manifest SHARDED BY PARTITION, where
+untouched partitions hard-link the previous base's shards — so even
+the periodic collapse under the commit lock is O(changed partitions),
+not O(table files). Planning reads manifests as Spark DataFrames
+(``files_df``), so no driver bottleneck in the plan itself.
 """
 
 from __future__ import annotations
@@ -308,6 +311,26 @@ class Table:
         self._cache_put(key, rows)
         return rows
 
+    def _chain_context(self, parent: int | None) -> tuple[dict, set | None]:
+        """(ancestor base's shard map, partitions touched since it) —
+        the inputs for an O(changed-partitions) base collapse. Walks
+        snapshot JSONs only, never file rows. ``touched=None`` means
+        unknown (a legacy delta without the field): rewrite everything."""
+        reuse: dict = {}
+        touched: set = set()
+        s = parent
+        while s is not None:
+            snap = self.snapshot(s)
+            if snap.get("manifest_kind", "base") == "base":
+                reuse = snap.get("shards") or {}
+                break
+            tp = snap.get("touched_partitions")
+            if tp is None:
+                return {}, None
+            touched |= set(tp)
+            s = snap["parent_id"]
+        return reuse, touched
+
     def manifest(self, snapshot_id: int | None = None) -> list[dict]:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
         if sid is None:
@@ -366,10 +389,22 @@ class Table:
         if snap.get("manifest_kind", "base") == "base":
             return
         rows = self._resolve_manifest(sid)
-        mf.write_manifest(rows, self._manifest_path(sid))
+        # sharded like a commit-time collapse: untouched partitions
+        # hard-link their ancestor base's shards; this snapshot's own
+        # delta counts as touched too
+        reuse, chain_touched = self._chain_context(snap["parent_id"])
+        own = snap.get("touched_partitions")
+        if chain_touched is None or own is None:
+            reuse, touched = {}, {r.get("partition") or "" for r in rows}
+        else:
+            touched = chain_touched | set(own)
+        shards, n_w, n_r = mf.write_manifest_sharded(
+            rows, self._manifest_path(sid), reuse=reuse, touched=touched
+        )
         snap["manifest_kind"] = "base"
         snap["delta_depth"] = 0
         snap["manifest"] = self._manifest_path(sid)
+        snap["shards"] = shards
         tmp = self._snap_path(sid) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(snap, f, indent=1)
@@ -569,9 +604,27 @@ class Table:
                 as_base = (
                     force_base or parent is None or depth + 1 > Table.DELTA_CHAIN_MAX
                 )
+                # partitions whose row set this commit changes — drives
+                # the sharded collapse and is recorded on every snapshot
+                removed_parts = {
+                    r.get("partition") or "" for r in rows if r["path"] in removed
+                }
+                this_touched = {
+                    r.get("partition") or "" for r in added_rows
+                } | removed_parts
+                shards = None
+                shards_written = shards_reused = 0
                 if as_base:
                     manifest_path = self._manifest_path(sid)
-                    mf.write_manifest(kept + added_rows, manifest_path)
+                    reuse, chain_touched = self._chain_context(parent)
+                    if chain_touched is None:  # unknown history: full write
+                        reuse, chain_touched = {}, set(r.get("partition") or "" for r in rows)
+                    shards, shards_written, shards_reused = mf.write_manifest_sharded(
+                        kept + added_rows,
+                        manifest_path,
+                        reuse=reuse,
+                        touched=chain_touched | this_touched,
+                    )
                     kind, new_depth = "base", 0
                 else:
                     manifest_path = self._delta_path(sid)
@@ -588,6 +641,7 @@ class Table:
                     "manifest": manifest_path,
                     "manifest_kind": kind,
                     "delta_depth": new_depth,
+                    "touched_partitions": sorted(this_touched),
                     "summary": {
                         "added_files": len(added_rows),
                         "added_bytes": sum(r["size_bytes"] for r in added_rows),
@@ -597,6 +651,10 @@ class Table:
                         **(extra_summary or {}),
                     },
                 }
+                if shards is not None:
+                    snap["shards"] = shards
+                    snap["summary"]["base_shards_written"] = shards_written
+                    snap["summary"]["base_shards_reused"] = shards_reused
                 with open(self._snap_path(sid), "w") as f:
                     json.dump(snap, f, indent=1)
                 tmp = self._current_path() + f".tmp.{os.getpid()}"
@@ -689,10 +747,17 @@ class Table:
         rows_per_file = rows_per_file or Table.DELETE_ROWS_PER_FILE
         prefix = "pos-" if content == mf.CONTENT_POS_DEL else "eq-"
         out_dir = os.path.join(self.deletes_dir, prefix + uuid.uuid4().hex[:12])
-        sel = df.select(*cols)
-        n_rows = sel.count()
-        n_files = max(1, -(-n_rows // rows_per_file))
-        sel.repartition(n_files).write.parquet(out_dir)
+        # persist the narrow projection so the source plan executes ONCE:
+        # the count (sizes the fan-out) and the write both read the
+        # cache — without it a MERGE whose source is an expensive
+        # pipeline would run the whole plan twice
+        sel = df.select(*cols).persist()
+        try:
+            n_rows = sel.count()
+            n_files = max(1, -(-n_rows // rows_per_file))
+            sel.repartition(n_files).write.parquet(out_dir)
+        finally:
+            sel.unpersist()
         return mf.collect_file_infos(
             mf.list_parquet_files(out_dir),
             content=content,

@@ -91,8 +91,14 @@ def stream_sessionize(
             n = 0
             seq = 0
         out = []
-        for pdf in pdf_iter:
-            ts_vals = sorted(int(v) for v in (pdf[ts_col].astype("int64") // 1_000_000_000))
+        # drain ALL Arrow chunks before sorting: a key whose batch spans
+        # multiple chunks (>~10k rows) arrives as several pdfs in
+        # unspecified relative order — sorting per chunk would mis-split
+        # sessions at chunk boundaries
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            all_ts = pd.concat([c[ts_col] for c in chunks], ignore_index=True)
+            ts_vals = sorted(int(v) for v in (all_ts.astype("int64") // 1_000_000_000))
             for t in ts_vals:
                 if last_ts is None:
                     sess_start, last_ts, n = t, t, 1
