@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key": Q.q_hilbert_key,
         "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
         "pruned_range_scan": QP.q_pruned_range_scan,
+        "pruned_or_scan": QP.q_pruned_or_scan,
         "clustered_compaction_roundtrip": QP.q_clustered_compaction_roundtrip,
         "delete_where_roundtrip": QP.q_delete_where_roundtrip,
         "merge_into_roundtrip": QP.q_merge_into_roundtrip,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_key": Q.HILBERT_KEY_SQL,
         "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,
         "pruned_range_scan": QP.PRUNED_RANGE_SCAN_SQL,
+        "pruned_or_scan": QP.PRUNED_OR_SCAN_SQL,
         "clustered_compaction_roundtrip": QP.CLUSTERED_COMPACTION_ROUNDTRIP_SQL,
         "delete_where_roundtrip": QP.DELETE_WHERE_ROUNDTRIP_SQL,
         "merge_into_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,

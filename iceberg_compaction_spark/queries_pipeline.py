@@ -295,14 +295,23 @@ SELECT e.vec_id, e.label FROM e ANTI JOIN victims x ON e.vec_id = x.vec_id
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via multi-table sign-LSH (pandas-UDF signatures)
-    — no SQL oracle (approximate by construction); rows-only check.
-    tests/test_pipeline_ops.py pins recall ≥ 0.6 against brute force."""
+    — no SQL oracle (approximate by construction), but SELF-GATING: the
+    query computes brute-force top-k alongside and RAISES if recall
+    falls below 0.6, so the driver row goes red if the LSH path ever
+    degrades (tests/test_pipeline_ops.py pins the same floor)."""
     _utc(spark)
-    from iceberg_compaction_spark.operators.similarity import lsh_topk
+    from iceberg_compaction_spark.operators.similarity import brute_force_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_topk(emb, queries, k=3)
+    approx = lsh_topk(emb, queries, k=3)
+    exact = brute_force_topk(emb, queries, k=3)
+    n_exact = exact.count()
+    n_hit = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = n_hit / max(n_exact, 1)
+    if recall < 0.6:
+        raise AssertionError(f"LSH ANN recall degraded: {recall:.3f} < 0.6")
+    return approx
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,4 +856,55 @@ WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM base
 WHERE ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'
+"""
+
+
+# the common backfill shape: two disjoint ts windows ORed together
+_OR_A_LO, _OR_A_HI = "2024-01-03 00:00:00", "2024-01-05 00:00:00"
+_OR_B_LO, _OR_B_HI = "2024-01-20 00:00:00", "2024-01-22 00:00:00"
+_OR_PRED = (
+    f"(ts >= TIMESTAMP '{_OR_A_LO}' AND ts < TIMESTAMP '{_OR_A_HI}')"
+    f" OR (ts >= TIMESTAMP '{_OR_B_LO}' AND ts < TIMESTAMP '{_OR_B_HI}')"
+)
+
+
+def q_pruned_or_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-disjunct file pruning for a top-level OR predicate (two
+    disjoint backfill windows): each disjunct prunes independently and
+    the survivor sets union, so files in NEITHER window never enter the
+    plan. Raises if nothing was pruned — the driver row goes red if
+    disjunctive pruning regresses to keep-everything."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_prune_or_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        n_total = len(table.files(content="data"))
+        out = table.scan(spark, filter=_OR_PRED).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        if not (0 < table.last_scan_pruned_files < n_total):
+            raise AssertionError(
+                f"OR-disjunct pruning ineffective: {table.last_scan_pruned_files}/{n_total}"
+            )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+PRUNED_OR_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base
+WHERE (ts >= TIMESTAMP '{_OR_A_LO}' AND ts < TIMESTAMP '{_OR_A_HI}')
+   OR (ts >= TIMESTAMP '{_OR_B_LO}' AND ts < TIMESTAMP '{_OR_B_HI}')
 """
