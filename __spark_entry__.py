@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
         "pruned_range_scan": QP.q_pruned_range_scan,
         "pruned_or_scan": QP.q_pruned_or_scan,
+        "bloom_point_lookup": QP.q_bloom_point_lookup,
         "clustered_compaction_roundtrip": QP.q_clustered_compaction_roundtrip,
         "delete_where_roundtrip": QP.q_delete_where_roundtrip,
         "merge_into_roundtrip": QP.q_merge_into_roundtrip,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,
         "pruned_range_scan": QP.PRUNED_RANGE_SCAN_SQL,
         "pruned_or_scan": QP.PRUNED_OR_SCAN_SQL,
+        "bloom_point_lookup": QP.BLOOM_POINT_LOOKUP_SQL,
         "clustered_compaction_roundtrip": QP.CLUSTERED_COMPACTION_ROUNDTRIP_SQL,
         "delete_where_roundtrip": QP.DELETE_WHERE_ROUNDTRIP_SQL,
         "merge_into_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,

@@ -335,7 +335,7 @@ class CompactionRunner:
         )
         tw = time.time()
         (
-            df.write.mode("error")
+            self.table.bloom_write_options(df.write.mode("error"))
             .option("maxRecordsPerFile", rows_per_file)
             .parquet(out_dir)
         )
@@ -344,6 +344,7 @@ class CompactionRunner:
         infos = mf.collect_file_infos(
             mf.list_parquet_files(out_dir), content=mf.CONTENT_DATA, spark=self.spark
         )
+        infos = self.table.attach_blooms(infos, self.spark)
         GLOBAL.inc("compaction.stats_s", time.time() - ts_)
         for fi in infos:
             fi.partition = Table._partition_of(fi)

@@ -249,6 +249,16 @@ def _eq_possible(st: dict, kind: str, lit) -> bool:
         return False
     if c_max is not None and c_max < 0:
         return False
+    # bloom probe (point lookups on hash-distributed keys, where bounds
+    # can never discriminate): a definite-absent verdict is exact —
+    # blooms have no false negatives — so excluding stays conservative.
+    # Blooms are built from string keys; only str literals probe.
+    bl = st.get("bloom")
+    if bl and kind == "str":
+        from iceberg_compaction_spark.functions.bloom import maybe_contains
+
+        if not maybe_contains(bl, lit):
+            return False
     return True
 
 

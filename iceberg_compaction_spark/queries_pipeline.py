@@ -908,3 +908,46 @@ FROM base
 WHERE (ts >= TIMESTAMP '{_OR_A_LO}' AND ts < TIMESTAMP '{_OR_A_HI}')
    OR (ts >= TIMESTAMP '{_OR_B_LO}' AND ts < TIMESTAMP '{_OR_B_HI}')
 """
+
+
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file manifest BLOOM pruning for point lookups: transcripts
+    are hash-distributed by conv_id across 16 files, so every file's
+    [min, max] conv_id bounds span ~the whole key space and bounds
+    pruning keeps everything — the bloom must prune most files anyway.
+    Raises unless ≥ half the files were pruned; values are checked
+    against the SQL oracle (blooms have no false negatives, so pruning
+    never changes the result)."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_bloom_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(
+            loc, TRANSCRIPT_DDL, bloom={"columns": ["conv_id"], "fpp": 0.01, "ndv": 10_000}
+        )
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.repartition(16, "conv_id"))
+        n_total = len(table.files(content="data"))
+        key = base.agg(F.min("conv_id")).first()[0]
+        out = table.scan(spark, filter=f"conv_id = '{key}'").select(
+            "conv_id", "turn_idx", "role", F.unix_timestamp("ts").alias("ts_epoch")
+        )
+        if table.last_scan_pruned_files < n_total // 2:
+            raise AssertionError(
+                f"bloom pruning ineffective: {table.last_scan_pruned_files}/{n_total}"
+            )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+BLOOM_POINT_LOOKUP_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE conv_id = (SELECT min(conv_id) FROM base)
+"""

@@ -123,9 +123,13 @@ class Table:
         schema_ddl: str,
         partition: dict | None = None,
         name: str | None = None,
+        bloom: dict | None = None,
     ) -> "Table":
         """``partition`` e.g. {"field": "_part",
-        "expr": "date_format(ts, 'yyyy-MM-dd')"} or None."""
+        "expr": "date_format(ts, 'yyyy-MM-dd')"} or None.
+        ``bloom`` e.g. {"columns": ["conv_id"], "fpp": 0.01} enables
+        per-file manifest blooms (point-lookup file pruning) plus
+        parquet-level blooms (row-group skipping) on those columns."""
         location = os.path.abspath(location)
         meta_dir = os.path.join(location, "meta")
         os.makedirs(meta_dir, exist_ok=False)
@@ -135,6 +139,7 @@ class Table:
             "name": name or os.path.basename(location),
             "schema_ddl": schema_ddl,
             "partition": partition,
+            "bloom": bloom,
             "created_ms": _now_ms(),
         }
         with open(os.path.join(meta_dir, "table.json"), "w") as f:
@@ -199,6 +204,54 @@ class Table:
         else:
             self.meta["partition"] = {"field": PART_COL, "expr": expr}
         self._write_meta()
+
+    def set_bloom_columns(
+        self, columns: Sequence[str] | None, fpp: float = 0.01, ndv: int = 100_000
+    ) -> None:
+        """Enable/disable bloom filters for FUTURE writes (existing
+        files gain blooms when compaction rewrites them — same
+        mixed-layout rule as partition evolution: a file without a
+        bloom simply never bloom-prunes)."""
+        self.meta["bloom"] = (
+            {"columns": list(columns), "fpp": fpp, "ndv": ndv} if columns else None
+        )
+        self._write_meta()
+
+    def bloom_write_options(self, writer):
+        """Parquet-level bloom filters on configured columns: row groups
+        inside files that survive manifest pruning get skipped by the
+        scan when the point predicate misses them."""
+        spec = self.meta.get("bloom")
+        if spec:
+            for c in spec.get("columns", ()):
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(spec.get("ndv", 100_000))
+                )
+        return writer
+
+    def attach_blooms(self, infos: list, spark: SparkSession) -> list:
+        """Merge per-file manifest blooms into freshly written files'
+        stats (one narrow column scan per bloom column; no-op unless
+        the table configures blooms)."""
+        spec = self.meta.get("bloom")
+        if not spec or not infos:
+            return infos
+        from iceberg_compaction_spark.functions import bloom as bloom_mod
+
+        paths = [fi.path for fi in infos]
+        for col in spec.get("columns", ()):
+            blooms = bloom_mod.compute_file_blooms(
+                spark, paths, col, fpp=spec.get("fpp", 0.01)
+            )
+            for fi in infos:
+                b = blooms.get(fi.path)
+                if b is None:
+                    continue  # e.g. the column was all-null in this file
+                st = json.loads(fi.stats_json or "{}")
+                st.setdefault(col, {"min": None, "max": None, "nulls": None})["bloom"] = b
+                fi.stats_json = json.dumps(st, sort_keys=True)
+        return infos
 
     def add_column(self, name: str, ddl_type: str) -> None:
         """Append a nullable column. Existing files never change; scans
@@ -712,7 +765,7 @@ class Table:
             writer = df.withColumn("_pdir", F.col(field)).write.partitionBy("_pdir")
         else:
             writer = df.write
-        writer = writer.mode("error")
+        writer = self.bloom_write_options(writer.mode("error"))
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         writer.parquet(out_dir)
@@ -720,7 +773,7 @@ class Table:
         infos = mf.collect_file_infos(paths, content=mf.CONTENT_DATA, spark=df.sparkSession)
         for fi in infos:
             fi.partition = self._partition_of(fi)
-        return infos
+        return self.attach_blooms(infos, df.sparkSession)
 
     def append_dataframe(self, df: DataFrame, max_records_per_file: int | None = None) -> int:
         infos = self.write_data_files(df, max_records_per_file)
