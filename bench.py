@@ -52,6 +52,7 @@ HEADLINE = [
     "embedding_topk",
     "text_analysis",
     "pruned_range_scan",
+    "bloom_point_lookup",
 ]
 
 

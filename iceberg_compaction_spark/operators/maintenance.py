@@ -53,7 +53,11 @@ def expire_snapshots(
     cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) + 1
     by_id = sorted(snaps, key=lambda s: s["snapshot_id"])
     newest = {s["snapshot_id"] for s in by_id[-max(retain_last, 1):]}
-    tagged = set(table.tags().values())
+    # named refs pin retention: tags AND branch heads (a branch mid-
+    # audit must stay readable until published or dropped)
+    tagged = set(table.tags().values()) | {
+        v for v in table.refs().values() if v is not None
+    }
     retained = [
         s["snapshot_id"]
         for s in by_id

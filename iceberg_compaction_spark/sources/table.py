@@ -569,6 +569,111 @@ class Table:
         os.replace(tmp, self._tags_path())
 
     # ------------------------------------------------------------------
+    # branches (write-audit-publish): a branch is a movable ref commits
+    # can target instead of main. Iceberg semantics: snapshot ids stay
+    # globally unique (allocated from the shared commit counter, which
+    # equals parent+1 on a linear main-only history), every branch
+    # snapshot chains via parent_id, and publishing is a FAST-FORWARD of
+    # main — only legal when main is still an ancestor of the branch
+    # head, i.e. nothing was published meanwhile.
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta_dir, "refs.json")
+
+    def refs(self) -> dict:
+        try:
+            with open(self._refs_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = self._refs_path() + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Branch off ``snapshot_id`` (default: current main head; a
+        branch may start from an empty table as ``None``)."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is not None and not os.path.exists(self._snap_path(sid)):
+            raise ValidationError(f"cannot branch from unknown snapshot {sid}")
+        refs = self.refs()
+        if name in refs:
+            raise ValidationError(f"branch {name} already exists")
+        refs[name] = sid
+        self._write_refs(refs)
+        return sid
+
+    def ref_head(self, name: str) -> int | None:
+        refs = self.refs()
+        if name not in refs:
+            raise ValidationError(f"no such branch {name}")
+        return refs[name]
+
+    def drop_branch(self, name: str) -> None:
+        refs = self.refs()
+        refs.pop(name, None)
+        self._write_refs(refs)
+
+    def _is_ancestor(self, maybe_ancestor: int | None, sid: int | None) -> bool:
+        """True when ``maybe_ancestor`` lies on ``sid``'s parent chain
+        (None is everyone's ancestor: the empty table)."""
+        if maybe_ancestor is None:
+            return True
+        s = sid
+        while s is not None:
+            if s == maybe_ancestor:
+                return True
+            s = self.snapshot(s)["parent_id"]
+        return False
+
+    def fast_forward_main(self, branch: str) -> int:
+        """Publish: move main to the branch head. Refuses when main
+        moved since the branch was cut (the WAP conflict) — rebase by
+        re-running the audit pipeline on a fresh branch instead."""
+        with self._lock():
+            head = self.ref_head(branch)
+            if head is None:
+                raise ValidationError(f"branch {branch} has no commits")
+            cur = self._read_current()
+            if not self._is_ancestor(cur["current_snapshot_id"], head):
+                raise CommitConflict(
+                    f"main at {cur['current_snapshot_id']} is not an ancestor of "
+                    f"{branch} head {head}; cannot fast-forward"
+                )
+            tmp = self._current_path() + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"current_snapshot_id": head, "sequence_number": cur["sequence_number"]}, f
+                )
+            os.replace(tmp, self._current_path())
+            return head
+
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Roll the table back to an older snapshot's CONTENT as a new
+        commit (history preserved, like Iceberg's rollback): the diff
+        vs the current listing is committed, so delta-manifest IO stays
+        O(changed files)."""
+        target = {r["path"]: r for r in self.manifest(snapshot_id)}
+        current = {r["path"]: r for r in self.manifest()}
+        added = [
+            mf.FileInfo(**{k: r[k] for k in (
+                "path", "content", "size_bytes", "record_count", "sequence_number",
+                "partition", "equality_ids", "stats_json",
+            )})
+            for p, r in sorted(target.items())
+            if p not in current
+        ]
+        removed = sorted(p for p in current if p not in target)
+        return self.commit(
+            "rollback",
+            added=added,
+            removed_paths=removed,
+            extra_summary={"rolled_back_to": snapshot_id},
+        )
+
+    # ------------------------------------------------------------------
     # commit protocol
     def _lock(self):
         lock_path = os.path.join(self._meta_dir, "commit.lock")
@@ -608,6 +713,7 @@ class Table:
         backoff_cap_s: float = 30.0,
         extra_summary: dict | None = None,
         force_base: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Atomically produce the next snapshot.
 
@@ -622,7 +728,12 @@ class Table:
         manifest (adds + remove tombstones) chained to the parent; a
         full base manifest is written only at the root, every
         ``DELTA_CHAIN_MAX`` commits, or on ``force_base`` (used by
-        rewrite_manifests to collapse the chain)."""
+        rewrite_manifests to collapse the chain).
+
+        ``branch``: target a named branch ref instead of main (the WAP
+        audit side). Snapshot ids come from the shared commit counter,
+        so they stay globally unique across branches (and equal the
+        old parent+1 numbering on a linear main-only history)."""
 
         removed = set(removed_paths)
 
@@ -630,7 +741,13 @@ class Table:
             METRICS.inc("commit.attempts")
             with self._lock():
                 cur = self._read_current()
-                parent = cur["current_snapshot_id"]
+                if branch is None:
+                    parent = cur["current_snapshot_id"]
+                else:
+                    refs_map = self.refs()
+                    if branch not in refs_map:
+                        raise ValidationError(f"no such branch {branch}")
+                    parent = refs_map[branch]
                 if expected_snapshot_id is not ... and parent != expected_snapshot_id:
                     METRICS.inc("commit.conflicts")
                     raise CommitConflict(
@@ -643,7 +760,7 @@ class Table:
                     METRICS.inc("commit.conflicts")
                     raise CommitConflict(f"{len(missing)} input files no longer live")
                 new_seq = cur["sequence_number"] + 1
-                sid = (parent if parent is not None else 0) + 1
+                sid = new_seq
                 kept = [r for r in rows if r["path"] not in removed]
                 added_rows = []
                 for fi in added:
@@ -710,10 +827,29 @@ class Table:
                     snap["summary"]["base_shards_reused"] = shards_reused
                 with open(self._snap_path(sid), "w") as f:
                     json.dump(snap, f, indent=1)
-                tmp = self._current_path() + f".tmp.{os.getpid()}"
-                with open(tmp, "w") as f:
-                    json.dump({"current_snapshot_id": sid, "sequence_number": new_seq}, f)
-                os.replace(tmp, self._current_path())  # atomic CAS point
+                if branch is None:
+                    tmp = self._current_path() + f".tmp.{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        json.dump(
+                            {"current_snapshot_id": sid, "sequence_number": new_seq}, f
+                        )
+                    os.replace(tmp, self._current_path())  # atomic CAS point
+                else:
+                    # burn the counter FIRST (a crash between the two
+                    # writes wastes one id, never reuses one), then move
+                    # the branch ref — main's pointer is untouched
+                    tmp = self._current_path() + f".tmp.{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        json.dump(
+                            {
+                                "current_snapshot_id": cur["current_snapshot_id"],
+                                "sequence_number": new_seq,
+                            },
+                            f,
+                        )
+                    os.replace(tmp, self._current_path())
+                    refs_map[branch] = sid
+                    self._write_refs(refs_map)
                 METRICS.inc("commit.success")
                 METRICS.inc("commit.files_added", len(added_rows))
                 METRICS.inc("commit.files_removed", len(removed))
@@ -775,9 +911,14 @@ class Table:
             fi.partition = self._partition_of(fi)
         return self.attach_blooms(infos, df.sparkSession)
 
-    def append_dataframe(self, df: DataFrame, max_records_per_file: int | None = None) -> int:
+    def append_dataframe(
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None = None,
+        branch: str | None = None,
+    ) -> int:
         infos = self.write_data_files(df, max_records_per_file)
-        return self.commit("append", added=infos)
+        return self.commit("append", added=infos, branch=branch)
 
     # Rows per delete *file*: deletes are narrow (a path + long, or a
     # few key columns), so 8M rows ≈ tens of MB — small enough to
