@@ -78,15 +78,36 @@ def build_bitmap(hs: np.ndarray, fpp: float = 0.01) -> tuple[str, int, int]:
     return base64.b64encode(packed.tobytes()).decode("ascii"), m, k
 
 
-def maybe_contains(bloom: dict, value: str) -> bool:
+def maybe_contains(bloom: dict, value) -> bool:
     """Driver-side probe: False ⇒ the file DEFINITELY lacks ``value``
-    (safe to prune); True ⇒ maybe present. Malformed blooms → True."""
+    (safe to prune); True ⇒ maybe present. Malformed blooms, or a value
+    whose type doesn't match the bloom's key type, → True.
+
+    Key encodings mirror Spark's ``xxhash64`` input layout exactly
+    (pinned by tests): strings hash their UTF-8 bytes; long keys hash
+    8-byte little-endian two's complement (the build side casts
+    integral columns to long for the same reason)."""
     try:
         m = int(bloom["m"])
         raw = base64.b64decode(bloom["b64"])
     except (KeyError, TypeError, ValueError):
         return True
-    h = xxh64(value.encode("utf-8"))
+    t = bloom.get("t", "str")
+    if t == "str":
+        if not isinstance(value, str):
+            return True
+        data = value.encode("utf-8")
+    elif t == "long":
+        if isinstance(value, bool) or not isinstance(value, int):
+            return True
+        if not (-(1 << 63) <= value < (1 << 63)):
+            return False  # outside long range: definitely absent
+        import struct
+
+        data = struct.pack("<q", value)
+    else:
+        return True
+    h = xxh64(data)
     for pos in _positions_one(h, m):
         if not (raw[pos >> 3] >> (pos & 7)) & 1:
             return False
@@ -99,18 +120,26 @@ def compute_file_blooms(spark, paths, column: str, fpp: float = 0.01) -> dict:
     batches grouped per file). Cost at scale: re-reads just the key
     column of freshly written files; gate via table config."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from iceberg_compaction_spark.sources import scan as scan_mod
 
     import pandas as pd
 
-    df = (
-        spark.read.parquet(*paths)
-        .filter(F.col(column).isNotNull())
-        .select(
-            scan_mod.norm_file_path(F.input_file_name()).alias("_file"),
-            F.xxhash64(F.col(column)).alias("_h"),
-        )
+    src = spark.read.parquet(*paths)
+    dtype = src.schema[column].dataType
+    if isinstance(dtype, T.StringType):
+        key_col, key_t = F.col(column), "str"
+    elif isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        # hash as LONG so the driver-side probe's 8-byte little-endian
+        # packing matches regardless of the column's declared width
+        key_col, key_t = F.col(column).cast("long"), "long"
+    else:
+        return {}  # unsupported key type: no blooms, pruning untouched
+
+    df = src.filter(F.col(column).isNotNull()).select(
+        scan_mod.norm_file_path(F.input_file_name()).alias("_file"),
+        F.xxhash64(key_col).alias("_h"),
     )
 
     def fn(key, pdf):
@@ -122,4 +151,6 @@ def compute_file_blooms(spark, paths, column: str, fpp: float = 0.01) -> dict:
         .applyInPandas(fn, "_file string, b64 string, m long, k long")
         .collect()  # one row per FILE: manifest-sized, never data-sized
     )
-    return {r["_file"]: {"m": r["m"], "k": r["k"], "b64": r["b64"]} for r in rows}
+    return {
+        r["_file"]: {"m": r["m"], "k": r["k"], "t": key_t, "b64": r["b64"]} for r in rows
+    }

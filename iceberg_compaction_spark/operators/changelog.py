@@ -1,0 +1,185 @@
+"""Changelog (CDC) scan: the row-level change stream between two
+snapshots — inserts AND deletes — like Iceberg's changelog table, built
+from the same primitives the engine already has (delta manifests, MoR
+scans, hidden columns).
+
+``incremental_scan`` (sources/table.py) answers "what rows were
+appended"; a derived-pipeline consumer also needs "what rows
+disappeared" (MERGE updates, DELETE WHERE, retention). Semantics per
+commit, walking the snapshot chain oldest→newest:
+
+  * data files ADDED by the commit → their rows as ``insert``
+    (equality deletes only kill LOWER sequence numbers, so a commit's
+    own inserts are never killed by its own delete files);
+  * delete files ADDED → the parent-snapshot rows they kill as
+    ``delete`` (position deletes join on (file, pos); equality deletes
+    semi-join on keys — every live parent row has a lower seq, so the
+    key match is exact);
+  * data files REMOVED (metadata deletes: DELETE WHERE fast path,
+    expireData, rollback) → their parent-visible rows as ``delete``;
+  * ``replace`` / ``rewrite_manifests`` / ``maintenance`` commits are
+    SKIPPED: compaction moves bytes, not rows — the changelog is
+    invariant under table maintenance, which is the whole point of
+    separating logical change from physical layout.
+
+A MERGE upsert therefore emits delete(old row) + insert(new row), the
+standard CDC upsert pair, tagged with the committing snapshot id.
+
+Scale: appends cost one scan of the added files only. Delete commits
+scan the parent snapshot once, column-pruned, with the kill set joined
+semi (broadcast below threshold) — O(parent scan) worst case per
+delete commit, never O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.errors import ValidationError
+from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL, SEQ_COL
+from iceberg_compaction_spark.sources import manifest as mf
+from iceberg_compaction_spark.sources import scan as scan_mod
+from iceberg_compaction_spark.sources.table import Table
+
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_SNAPSHOT_COL = "_change_snapshot_id"
+
+_NO_CHANGE_OPS = ("replace", "rewrite_manifests", "maintenance")
+
+
+def _chain(table: Table, from_sid: int | None, to_sid: int) -> list[int]:
+    """Snapshot ids after ``from_sid`` up to and including ``to_sid``,
+    oldest first. Raises when ``from_sid`` is not an ancestor."""
+    out = []
+    s: int | None = to_sid
+    while s is not None and s != from_sid:
+        out.append(s)
+        s = table.snapshot(s)["parent_id"]
+    if s != from_sid:
+        raise ValidationError(f"{from_sid} is not an ancestor of {to_sid}")
+    out.reverse()
+    return out
+
+
+def changelog_scan(
+    spark: SparkSession,
+    table: Table,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int | None = None,
+    columns=None,
+) -> DataFrame:
+    """Row-level changes in (``from_snapshot_id``, ``to_snapshot_id``]:
+    user columns + ``_change_type`` ('insert' | 'delete') +
+    ``_change_snapshot_id``. ``from_snapshot_id=None`` = since table
+    creation."""
+    to_sid = to_snapshot_id if to_snapshot_id is not None else table.current_snapshot_id
+    if to_sid is None:
+        raise ValidationError("table has no snapshot")
+    user_cols = list(columns or table.user_columns())
+    empty = (
+        spark.createDataFrame([], schema=table.schema())
+        .select(*user_cols)
+        .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+        .withColumn(CHANGE_SNAPSHOT_COL, F.lit(0).cast("long"))
+        .limit(0)
+    )
+    frames: list[DataFrame] = []
+    for sid in _chain(table, from_snapshot_id, to_sid):
+        snap = table.snapshot(sid)
+        if snap["operation"] in _NO_CHANGE_OPS:
+            continue
+        parent = snap["parent_id"]
+        cur = {r["path"]: r for r in table.manifest(sid)}
+        par = {r["path"]: r for r in table.manifest(parent)} if parent is not None else {}
+        added = [r for p, r in cur.items() if p not in par]
+        removed = [r for p, r in par.items() if p not in cur]
+        removed_data = [r for r in removed if r["content"] == mf.CONTENT_DATA]
+        removed_pos = [r for r in removed if r["content"] == mf.CONTENT_POS_DEL]
+        removed_eq = [r for r in removed if r["content"] == mf.CONTENT_EQ_DEL]
+        added_data = [r for r in added if r["content"] == mf.CONTENT_DATA]
+        added_pos = [r for r in added if r["content"] == mf.CONTENT_POS_DEL]
+        added_eq = [r for r in added if r["content"] == mf.CONTENT_EQ_DEL]
+
+        def _tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(*user_cols).withColumn(
+                CHANGE_TYPE_COL, F.lit(kind)
+            ).withColumn(CHANGE_SNAPSHOT_COL, F.lit(sid).cast("long"))
+
+        if added_data:
+            ins = scan_mod.read_data_files(
+                spark, [r["path"] for r in added_data], schema=table.physical_schema()
+            )
+            frames.append(_tag(ins, "insert"))
+
+        needs_parent = removed_data or added_pos or added_eq
+        if needs_parent and parent is not None:
+            # parent-visible rows with hidden (file, pos) for targeting
+            par_scan = table.scan(spark, snapshot_id=parent, with_hidden=True)
+            if removed_data:
+                rm = spark.createDataFrame(
+                    [(r["path"],) for r in removed_data], f"{FILE_COL} string"
+                )
+                frames.append(
+                    _tag(par_scan.join(F.broadcast(rm), FILE_COL, "left_semi"), "delete")
+                )
+            if added_pos:
+                refs = scan_mod.read_position_deletes(
+                    spark, [r["path"] for r in added_pos]
+                )
+                frames.append(
+                    _tag(par_scan.join(refs, [FILE_COL, POS_COL], "left_semi"), "delete")
+                )
+            for keys, grp in _group_eq(added_eq):
+                eq_df = scan_mod.read_equality_deletes(
+                    spark, [(r["path"], r["sequence_number"]) for r in grp], list(keys)
+                )
+                key_df = eq_df.select(*keys).distinct()
+                # every live parent row has seq < the new delete's seq,
+                # so a plain key semi-join is exact
+                frames.append(_tag(par_scan.join(key_df, list(keys), "left_semi"), "delete"))
+
+        # REMOVING a delete file resurrects rows (rollback of a delete):
+        # rows visible at THIS snapshot that the removed delete file was
+        # suppressing at the parent are inserts. A row visible now and
+        # matched by the removed delete was necessarily hidden before
+        # (pos refs are exact; for eq, row_seq < delete_seq ⇒ it was
+        # covered — any other still-live delete would hide it now too).
+        if removed_pos or removed_eq:
+            cur_scan = table.scan(spark, snapshot_id=sid, with_hidden=True)
+            resurrected: list[DataFrame] = []
+            if removed_pos:
+                refs = scan_mod.read_position_deletes(
+                    spark, [r["path"] for r in removed_pos]
+                )
+                resurrected.append(cur_scan.join(refs, [FILE_COL, POS_COL], "left_semi"))
+            for keys, grp in _group_eq(removed_eq):
+                eq_df = scan_mod.read_equality_deletes(
+                    spark, [(r["path"], r["sequence_number"]) for r in grp], list(keys)
+                ).withColumnRenamed(SEQ_COL, "_del_seq")
+                resurrected.append(
+                    cur_scan.join(
+                        F.broadcast(eq_df.select(*keys, "_del_seq").distinct()),
+                        list(keys),
+                    )
+                    .filter(F.col(SEQ_COL) < F.col("_del_seq"))
+                    .drop("_del_seq")
+                )
+            res = resurrected[0]
+            for r in resurrected[1:]:
+                res = res.unionByName(r, allowMissingColumns=True)
+            # one insert per physical row even when several removed
+            # delete files covered it
+            frames.append(_tag(res.dropDuplicates([FILE_COL, POS_COL]), "insert"))
+
+    out = empty
+    for f in frames:
+        out = out.unionByName(f)
+    return out
+
+
+def _group_eq(rows: list[dict]):
+    by_keys: dict[tuple, list] = {}
+    for r in rows:
+        by_keys.setdefault(tuple(r["equality_ids"]), []).append(r)
+    return sorted(by_keys.items())

@@ -252,9 +252,10 @@ def _eq_possible(st: dict, kind: str, lit) -> bool:
     # bloom probe (point lookups on hash-distributed keys, where bounds
     # can never discriminate): a definite-absent verdict is exact —
     # blooms have no false negatives — so excluding stays conservative.
-    # Blooms are built from string keys; only str literals probe.
+    # maybe_contains type-guards: a literal whose type doesn't match
+    # the bloom's key type (str / long) probes as "maybe present".
     bl = st.get("bloom")
-    if bl and kind == "str":
+    if bl and kind in ("str", "num"):
         from iceberg_compaction_spark.functions.bloom import maybe_contains
 
         if not maybe_contains(bl, lit):

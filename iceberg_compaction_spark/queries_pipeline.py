@@ -951,3 +951,67 @@ WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM base WHERE conv_id = (SELECT min(conv_id) FROM base)
 """
+
+
+def q_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog between snapshots: a MERGE upsert (update every
+    turn_idx%7==3 row, insert one new turn per conversation) must emit
+    the standard delete(old)+insert(new) pairs — and the stream must be
+    INVARIANT under compaction (replace commits move bytes, not rows),
+    which the query proves by compacting before reading the log."""
+    _utc(spark)
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.operators.changelog import changelog_scan
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_cdc_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.repartition(8, F.xxhash64("conv_id", "turn_idx")))
+        sid0 = table.current_snapshot_id
+        upd = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") % 7 == 3)
+            .withColumn("text", F.concat(F.col("text"), F.lit("~v2")))
+        )
+        new = base.groupBy("conv_id").agg(F.max("turn_idx").alias("mx")).select(
+            F.col("conv_id"),
+            (F.col("mx") + 1).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("appended turn").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        merge_into(table, upd.unionByName(new.select(*upd.columns)),
+                   keys=["conv_id", "turn_idx"])
+        # maintenance between the snapshots must not change the log
+        CompactionRunner(
+            spark, table, CompactionConfig(selection=SelectionStrategy.FULL)
+        ).execute()
+        out = changelog_scan(
+            spark, table, sid0, columns=["conv_id", "turn_idx", "text"]
+        ).select("conv_id", "turn_idx", "text", "_change_type")
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+CHANGELOG_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, text, _change AS _change_type FROM (
+  SELECT conv_id, turn_idx, text || '~v2' AS text, 'insert' AS _change
+  FROM base WHERE turn_idx % 7 = 3
+  UNION ALL
+  SELECT conv_id, CAST(max(turn_idx) + 1 AS INT), 'appended turn', 'insert'
+  FROM base GROUP BY conv_id
+  UNION ALL
+  SELECT conv_id, turn_idx, text, 'delete' FROM base WHERE turn_idx % 7 = 3
+) u(conv_id, turn_idx, text, _change)
+"""

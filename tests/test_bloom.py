@@ -91,6 +91,48 @@ def test_point_lookup_prunes_files_and_matches(spark, tmp_warehouse):
     assert t.last_scan_pruned_files > 0
 
 
+def test_long_key_bloom(spark, tmp_warehouse):
+    """Integral key columns bloom too (hashed as long both sides)."""
+    import struct
+
+    from pyspark.sql import functions as SF
+
+    vals = [0, 1, -1, 42, 2**40, -(2**40), 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", SF.xxhash64("v").alias("h")
+    )
+    for r in df.collect():  # probe-side packing == JVM layout
+        assert xxh64(struct.pack("<q", r["v"])) == r["h"] & ((1 << 64) - 1)
+
+    t = Table.create(
+        os.path.join(tmp_warehouse, "bll"), "user_id bigint, turn_idx int, text string",
+        bloom={"columns": ["user_id"], "fpp": 0.01, "ndv": 1000},
+    )
+    data = spark.range(20_000).selectExpr(
+        "(id % 500) * 9973 as user_id", "cast(id as int) as turn_idx",
+        "concat('t', id) as text",
+    )
+    t.append_dataframe(data.repartition(12, "user_id"))
+    n_files = len(t.files(content="data"))
+    st = json.loads(t.files(content="data")[0]["stats_json"])["user_id"]
+    assert st["bloom"]["t"] == "long"
+    assert t.scan(spark, filter=f"user_id = {123 * 9973}").count() == 40
+    assert t.last_scan_pruned_files > 0
+    t.scan(spark, filter="user_id = 17").count()  # 17 is not a multiple of 9973
+    assert t.last_scan_pruned_files == n_files
+    # int-typed key columns are cast to long at build: same probe path
+    t2 = Table.create(
+        os.path.join(tmp_warehouse, "bli"), "k int, text string",
+        bloom={"columns": ["k"], "fpp": 0.01, "ndv": 100},
+    )
+    t2.append_dataframe(
+        spark.range(1000).selectExpr("cast(id % 50 as int) as k", "'x' as text")
+        .repartition(8, "k")
+    )
+    assert t2.scan(spark, filter="k = 7").count() == 20
+    assert t2.last_scan_pruned_files > 0
+
+
 def test_blooms_survive_compaction_rewrite(spark, tmp_warehouse):
     from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
     from iceberg_compaction_spark.plans.compaction import CompactionRunner
