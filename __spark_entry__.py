@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_scan": QP.q_time_travel_scan,
         "incremental_scan": QP.q_incremental_scan,
         "changelog_scan": QP.q_changelog_scan,
+        "metadata_count": QP.q_metadata_count,
         "schema_evolution_scan": QP.q_schema_evolution_scan,
         "stream_sessionization": QP.q_stream_sessionization,
         # --- training-data pipeline ---
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_scan": QP.TIME_TRAVEL_SCAN_SQL,
         "incremental_scan": QP.INCREMENTAL_SCAN_SQL,
         "changelog_scan": QP.CHANGELOG_SCAN_SQL,
+        "metadata_count": QP.METADATA_COUNT_SQL,
         "schema_evolution_scan": QP.SCHEMA_EVOLUTION_SCAN_SQL,
         "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
         "exact_dedup": QP.EXACT_DEDUP_SQL,

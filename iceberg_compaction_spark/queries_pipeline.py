@@ -1003,6 +1003,40 @@ def q_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def q_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown into the manifest: a ts-range COUNT(*) where
+    whole days are answered from file metadata (record_count sums),
+    only the boundary files are scanned, and out-of-range files are
+    pruned. Raises unless BOTH the metadata path and pruning actually
+    fired; the count must equal the SQL oracle's."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.stats_agg import fast_count
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_cnt_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        res = fast_count(
+            spark, table,
+            f"ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'",
+        )
+        if res["metadata_files"] == 0 or res["pruned_files"] == 0:
+            raise AssertionError(f"metadata count path ineffective: {res}")
+        return spark.createDataFrame([(res["count"],)], "cnt bigint")
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+METADATA_COUNT_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT CAST(count(*) AS BIGINT) AS cnt FROM base
+WHERE ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'
+"""
+
+
 CHANGELOG_SCAN_SQL = f"""
 WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, text, _change AS _change_type FROM (
