@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline ---
         "exact_dedup": QP.q_exact_dedup,
         "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
+        "neardup_clusters": QP.q_neardup_clusters,
         "minhash_band_signatures": QP.q_minhash_band_signatures,
         "simhash_fingerprint": QP.q_simhash_fingerprint,
         "text_analysis": QP.q_text_analysis,
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
         "exact_dedup": QP.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,
+        "neardup_clusters": QP.NEARDUP_CLUSTERS_SQL,
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,
         "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
         "text_analysis": QP.TEXT_ANALYSIS_SQL,

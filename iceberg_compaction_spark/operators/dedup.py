@@ -259,6 +259,73 @@ def minhash_lsh_dedup(
 
 
 # ----------------------------------------------------------------------
+# transitive closure: connected components over a similarity graph
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) where component = min node id reachable via
+    ``edges`` (undirected). Min-label propagation to fixpoint: each
+    round joins labels across edges and keeps the minimum — rounds
+    needed = graph diameter, and near-dup clusters are shallow (a dup
+    cluster's diameter is small by construction), so convergence is a
+    handful of shuffle-join rounds on the EDGE set, never an all-pairs
+    computation. Each round materializes (cache + count) to cut the
+    lineage and test convergence.
+
+    Turns one-level single-linkage dedup into true cluster dedup:
+    A~B, B~C ⇒ {A,B,C} share one component even when A≁C directly.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component")).cache()
+    labels.count()
+    for _ in range(max_iter):
+        # candidate labels flowing across one hop
+        prop = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component")
+        )
+        new = (
+            labels.select("node", "component").unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep exactly one document (the smallest id) per connected
+    component of the similarity-pair graph ``pairs`` (id_a, id_b);
+    documents in no pair survive untouched."""
+    comp = connected_components(pairs)
+    victims = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(victims, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------------
 # SimHash
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16

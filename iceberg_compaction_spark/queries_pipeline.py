@@ -1003,6 +1003,37 @@ def q_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: Jaccard-similar pairs become an
+    undirected graph; connected components (distributed min-label
+    propagation, rounds = cluster diameter) label every clustered doc
+    with its component's min id — the closure one-level dedup misses
+    (A~B, B~C ⇒ one cluster even when A≁C)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, max_shingle_df=None).filter(F.col("jaccard") >= 0.2)
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({NGRAM_JACCARD_PAIRS_SQL}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
 def q_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate pushdown into the manifest: a ts-range COUNT(*) where
     whole days are answered from file metadata (record_count sums),

@@ -85,6 +85,22 @@ def test_scan_filter_pushes_into_parquet(spark, tmp_warehouse):
     assert "PushedFilters: [" in plan and "turn_idx" in plan.split("PushedFilters")[1][:200]
 
 
+def test_minhash_verify_is_candidate_scoped(spark):
+    """The LSH dedup verify step must compute Jaccard for candidate
+    pairs only: the optimized plan shows the candidate-id semi-join
+    feeding the shingle join (no corpus-wide shingle self-join), and
+    no cartesian shape anywhere."""
+    from iceberg_compaction_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    out = minhash_lsh_dedup(docs, verify_threshold=0.5)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in opt  # candidate ids scope the shingle explode
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_plan_is_equi_join(spark):
     """IVF's cell join must plan as an equi-join (broadcast or shuffled
     hash), never a cartesian — the property that makes it the ANN scale

@@ -285,6 +285,66 @@ def test_universal_shingle_cap_bounds_candidates(spark):
 
 
 # ---------------------------------------------------------------------------
+# transitive near-dup clustering
+def test_connected_components_vs_union_find(spark):
+    from iceberg_compaction_spark.operators.dedup import (
+        cluster_dedup,
+        connected_components,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expected = {x: find(x) for x in touched}
+    # union-find roots are not necessarily the min id of the component;
+    # normalize: min id per root group
+    by_root: dict = {}
+    for x, r in expected.items():
+        by_root.setdefault(find(r), []).append(x)
+    exp_label = {x: min(grp) for r, grp in by_root.items() for x in grp}
+
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edf).collect()}
+    assert got == exp_label
+
+    # cluster_dedup keeps exactly one doc per component
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
+    kept = {r["doc_id"] for r in cluster_dedup(docs, edf).collect()}
+    survivors_in_clusters = kept & touched
+    assert survivors_in_clusters == {min(g) for g in by_root.values()}
+    assert kept - touched == set(range(n)) - touched  # untouched docs survive
+
+
+def test_cluster_dedup_transitive_chain(spark):
+    """A~B, B~C (A≁C): one-level dedup keeps A and C; cluster dedup
+    keeps only A."""
+    from iceberg_compaction_spark.operators.dedup import cluster_dedup
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "doc_id int, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    kept = sorted(r["doc_id"] for r in cluster_dedup(docs, pairs).collect())
+    assert kept == [1]
+
+
+# ---------------------------------------------------------------------------
 # OR-disjunct pruning
 def test_or_predicate_prunes_per_disjunct(spark, tmp_warehouse):
     # 60s steps spread ~14 day-partitions; two narrow windows leave
