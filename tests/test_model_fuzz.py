@@ -99,3 +99,100 @@ def test_random_op_sequences_match_model(spark, tmp_warehouse, seed):
             else:
                 rewrite_manifests(t)
         assert _scan_state(spark, t) == model, f"seed {seed} diverged at step {step} ({op})"
+
+
+@pytest.mark.parametrize("seed", [3, 57])
+def test_random_sequences_with_rollback_branches_cdc(spark, tmp_warehouse, seed):
+    """Fuzz the round-3 surface: DELETE WHERE, rollback, WAP branches,
+    expiry — still dict-model-exact after every step, and the CDC
+    changelog replays the state delta exactly."""
+    from collections import Counter
+
+    from iceberg_compaction_spark.operators.changelog import changelog_scan
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+
+    rng = random.Random(seed)
+    t = Table.create(os.path.join(tmp_warehouse, f"fz3_{seed}"), TRANSCRIPT_DDL)
+    model: dict = {}
+    next_key = 0
+    history: list = []  # (sid, model copy) at safe replay anchors
+
+    def fresh_rows(n):
+        nonlocal next_key
+        out = []
+        for _ in range(n):
+            out.append((f"c{next_key % 5}", next_key, f"v{rng.randrange(10_000)}"))
+            next_key += 1
+        return out
+
+    cfg = CompactionConfig(
+        selection=SelectionStrategy.FULL,
+        group_target_size_bytes=64 << 10,
+        min_size_per_partition_bytes=64 << 10,
+    )
+    t.append_dataframe(_df(spark, fresh_rows(20)).coalesce(1))
+    model.update({(c, k): txt for c, k, txt in fresh_rows(0)})
+    model = _scan_state(spark, t)
+    cdc_anchor = (t.current_snapshot_id, dict(model))
+    history.append((t.current_snapshot_id, dict(model)))
+
+    ops = ["append", "upsert", "delete_where", "compact", "rollback", "branch_wap", "expire"]
+    for step in range(12):
+        op = rng.choice(ops)
+        if op == "append" or not model:
+            rows = fresh_rows(rng.randrange(5, 25))
+            t.append_dataframe(_df(spark, rows).coalesce(1))
+            model.update({(c, k): txt for c, k, txt in rows})
+        elif op == "upsert":
+            keys = rng.sample(sorted(model), min(len(model), rng.randrange(1, 8)))
+            rows = [(c, k, f"u{step}_{i}") for i, (c, k) in enumerate(keys)]
+            rows += fresh_rows(rng.randrange(0, 4))
+            merge_into(t, _df(spark, rows), keys=["conv_id", "turn_idx"])
+            model.update({(c, k): txt for c, k, txt in rows})
+        elif op == "delete_where":
+            lo = rng.randrange(0, max(next_key, 1))
+            hi = lo + rng.randrange(1, 30)
+            delete_where(spark, t, f"turn_idx >= {lo} AND turn_idx < {hi}")
+            model = {k: v for k, v in model.items() if not (lo <= k[1] < hi)}
+        elif op == "compact":
+            mode = rng.choice([CommitMode.PLANNER_COMMIT, CommitMode.WORKER_COMMIT])
+            c = CompactionConfig(**{**cfg.__dict__, "commit_mode": mode, "extra": {}})
+            CompactionRunner(spark, t, c).execute()
+        elif op == "rollback":
+            alive = {s["snapshot_id"] for s in t.snapshots()}
+            cands = [h for h in history if h[0] in alive]
+            if cands:
+                sid, saved = rng.choice(cands)
+                t.rollback_to(sid)
+                model = dict(saved)
+        elif op == "branch_wap":
+            name = f"b{step}"
+            t.create_branch(name)
+            rows = fresh_rows(rng.randrange(3, 10))
+            t.append_dataframe(_df(spark, rows).coalesce(1), branch=name)
+            if rng.random() < 0.5:
+                t.fast_forward_main(name)
+                model.update({(c, k): txt for c, k, txt in rows})
+            t.drop_branch(name)  # staged-only rows never reach main
+        else:
+            expire_snapshots(t, older_than_ms=2**62, retain_last=rng.randrange(1, 4))
+            cdc_anchor = (t.current_snapshot_id, dict(model))
+            history = [h for h in history
+                       if h[0] in {s["snapshot_id"] for s in t.snapshots()}]
+        assert _scan_state(spark, t) == model, f"seed {seed} diverged at step {step} ({op})"
+        history.append((t.current_snapshot_id, dict(model)))
+
+    # CDC replay: anchor state + changelog == final state (multisets)
+    from_sid, start = cdc_anchor
+    changes = changelog_scan(spark, t, from_sid, columns=["conv_id", "turn_idx", "text"])
+    replayed = Counter({(c, k, v): 1 for (c, k), v in start.items()})
+    for r in changes.collect():
+        key = (r["conv_id"], r["turn_idx"], r["text"])
+        if r["_change_type"] == "delete":
+            replayed[key] -= 1
+            if replayed[key] == 0:
+                del replayed[key]
+        else:
+            replayed[key] += 1
+    final = Counter({(c, k, v): 1 for (c, k), v in _scan_state(spark, t).items()})
+    assert replayed == final, f"seed {seed}: changelog replay diverged"
