@@ -107,10 +107,7 @@ def changelog_scan(
             ).withColumn(CHANGE_SNAPSHOT_COL, F.lit(sid).cast("long"))
 
         if added_data:
-            ins = scan_mod.read_data_files(
-                spark, [r["path"] for r in added_data], schema=table.physical_schema()
-            )
-            frames.append(_tag(ins, "insert"))
+            frames.append(_tag(table.read_data_rows(spark, added_data), "insert"))
 
         needs_parent = removed_data or added_pos or added_eq
         if needs_parent and parent is not None:

@@ -59,13 +59,7 @@ def delete_where(spark: SparkSession, table: Table, predicate: str) -> dict:
     added: list[mf.FileInfo] = []
     deleted_rows = 0
     if candidates:
-        df = scan_mod.read_data_files(
-            spark,
-            [r["path"] for r in candidates],
-            schema=table.physical_schema(),
-            with_file=True,
-            with_pos=True,
-        )
+        df = table.read_data_rows(spark, candidates, with_file=True, with_pos=True)
         hits = df.filter(F.expr(predicate)).select(FILE_COL, POS_COL)
         added = table.write_delete_files(hits, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL)
         deleted_rows = sum(fi.record_count for fi in added)

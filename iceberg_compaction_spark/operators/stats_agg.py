@@ -68,7 +68,7 @@ def fast_count(
     disjuncts = pruning.parse_predicate(predicate)
     meta_count = 0
     meta_files = pruned = 0
-    straddlers: list[str] = []
+    straddlers: list[dict] = []
     for r in data_rows:
         try:
             stats = json.loads(r.get("stats_json") or "{}")
@@ -80,14 +80,13 @@ def fast_count(
             meta_count += r["record_count"]
             meta_files += 1
         else:
-            straddlers.append(r["path"])
+            straddlers.append(r)
 
     scanned = 0
     if straddlers:
-        df = scan_mod.read_data_files(
-            spark, straddlers, schema=table.physical_schema()
-        ).filter(F.expr(predicate))
-        scanned = df.count()
+        scanned = (
+            table.read_data_rows(spark, straddlers).filter(F.expr(predicate)).count()
+        )
     return {
         "count": meta_count + scanned,
         "metadata_files": meta_files,

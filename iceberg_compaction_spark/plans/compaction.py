@@ -281,10 +281,11 @@ class CompactionRunner:
         t0 = time.time()
         need_eq = bool(seq_by_path)
         pos_df, bpos, eq_groups = self._delete_frames(snapshot_id, b.paths)
-        df = scan_mod.read_data_files(
+        # epoch-aware read: rewrites migrate pre-rename files' physical
+        # column names to the current schema
+        df = self.table.read_data_rows(
             self.spark,
-            b.paths,
-            schema=self.table.physical_schema(),
+            [{"path": p, "sequence_number": seq_by_path[p]} for p in b.paths],
             with_file=pos_df is not None,
             with_pos=pos_df is not None,
             seq_by_path=seq_by_path if eq_groups else None,
@@ -486,7 +487,10 @@ class CompactionRunner:
         rows: list[dict] = list(done.values())
 
         def run_bin(b: BinPlan) -> dict:
-            seqs = {p: seq_all[p] for p in b.paths} if eq_present else {}
+            # per-file seqs always flow (the epoch-aware read needs
+            # them); the eq-delete join only consumes them when
+            # equality deletes exist
+            seqs = {p: seq_all[p] for p in b.paths}
             return self._rewrite_bin(run_id, sid, b, seqs, commit_each=worker_mode)
 
         # One scan-split size for the whole run, set before any bin and

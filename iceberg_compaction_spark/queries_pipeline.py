@@ -1003,6 +1003,42 @@ def q_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def q_rename_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename across epochs: half the rows are
+    written under the old name, the column is renamed, the other half
+    under the new name — the scan must surface BOTH halves under the
+    current name (Spark's name-based parquet resolution would silently
+    NULL the old files without epoch-aware reads). Raises if any body
+    value comes back null."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_ren_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.filter(F.col("turn_idx") % 2 == 0))
+        table.rename_column("text", "body")
+        late = base.filter(F.col("turn_idx") % 2 == 1).withColumnRenamed("text", "body")
+        table.append_dataframe(late)
+        out = table.scan(spark).select("conv_id", "turn_idx", "body")
+        if out.filter(F.col("body").isNull()).count() > 0:
+            raise AssertionError("rename produced NULL bodies (old epoch misread)")
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+RENAME_EVOLUTION_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, text AS body FROM base
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: Jaccard-similar pairs become an
     undirected graph; connected components (distributed min-label

@@ -290,6 +290,126 @@ class Table:
         self.meta["schema_ddl"] = ", ".join(p.strip() for p in kept)
         self._write_meta()
 
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only column rename, Iceberg-style: no data rewrite.
+        Files written before the rename keep the old PHYSICAL name;
+        reads group files by name epoch (``read_data_rows``) and
+        normalize to current names — Spark's name-based parquet
+        resolution would otherwise silently return NULL for the renamed
+        column on old files. Old files' manifest stats stay keyed by
+        the historic name, so bounds/bloom pruning on the new name is
+        simply skipped for them (conservative); compaction rewrites
+        migrate files to current names."""
+        cols = self.user_columns()
+        if old not in cols:
+            raise ValidationError(f"no such column {old}")
+        if new in cols:
+            raise ValidationError(f"column {new} already exists")
+        part = self.meta.get("partition")
+        if part and old == part["field"]:
+            raise ValidationError("cannot rename the partition column")
+        for r in self.files(content=mf.CONTENT_EQ_DEL):
+            if old in (r["equality_ids"] or []):
+                raise ValidationError(
+                    f"column {old} is referenced by live equality-delete files; "
+                    "compact them away first"
+                )
+        pieces, depth, cur = [], 0, ""
+        for ch in self.meta["schema_ddl"]:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                pieces.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            pieces.append(cur)
+        out = []
+        for p in pieces:
+            name, rest = p.strip().split(None, 1)
+            out.append(f"{new} {rest}" if name.strip('`') == old else p.strip())
+        self.meta["schema_ddl"] = ", ".join(out)
+        self.meta["renames"] = (self.meta.get("renames") or []) + [
+            {"seq": self.sequence_number, "from": old, "to": new}
+        ]
+        self._write_meta()
+
+    def _historic_names(self, file_seq: int) -> dict | None:
+        """{current name: physical name} for a file committed at
+        ``file_seq`` (renames recorded at seq >= file_seq happened
+        after the file was written). None when identity."""
+        rens = self.meta.get("renames") or []
+        if not rens:
+            return None
+        mapping = {}
+        for c in self.user_columns():
+            name = c
+            for r in reversed(rens):
+                if r["seq"] >= file_seq and r["to"] == name:
+                    name = r["from"]
+            if name != c:
+                mapping[c] = name
+        return mapping or None
+
+    def read_data_rows(
+        self,
+        spark: SparkSession,
+        rows: Sequence[dict],
+        with_file: bool = False,
+        with_pos: bool = False,
+        seq_by_path: dict | None = None,
+    ) -> DataFrame:
+        """Epoch-aware data read over manifest ``rows``: files are
+        grouped by their historic column names (one extra read per
+        rename epoch actually present — zero-cost when the table was
+        never renamed) and every group is normalized to CURRENT names
+        before the union."""
+        phys = self.physical_schema()
+        groups: dict[tuple, list] = {}
+        for r in rows:
+            mp = self._historic_names(r["sequence_number"])
+            key = tuple(sorted(mp.items())) if mp else ()
+            groups.setdefault(key, []).append(r)
+        parts = []
+        for key, grp in sorted(groups.items()):
+            mp = dict(key)
+            hist = T.StructType(
+                [
+                    T.StructField(mp.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in phys.fields
+                ]
+            )
+            paths = [r["path"] for r in grp]
+            sub_seq = (
+                {p: seq_by_path[p] for p in paths if p in seq_by_path}
+                if seq_by_path is not None
+                else None
+            )
+            df = scan_mod.read_data_files(
+                spark,
+                paths,
+                schema=hist,
+                with_file=with_file,
+                with_pos=with_pos,
+                seq_by_path=sub_seq,
+            )
+            if mp:
+                # one simultaneous projection, not sequential renames:
+                # name-reuse chains (a→b then c→a) would otherwise pass
+                # through a duplicate-column state
+                inv = {old_name: cur_name for cur_name, old_name in mp.items()}
+                df = df.select(
+                    [F.col(c).alias(inv.get(c, c)) for c in df.columns]
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def physical_schema(self) -> T.StructType:
         s = self.schema()
         if self.meta.get("partition"):
@@ -429,10 +549,7 @@ class Table:
         rows = self.added_files_between(from_snapshot_id, to_snapshot_id)
         if not rows:
             return spark.createDataFrame([], schema=self.schema()).select(*user_cols)
-        df = scan_mod.read_data_files(
-            spark, [r["path"] for r in rows], schema=self.physical_schema()
-        )
-        return df.select(*user_cols)
+        return self.read_data_rows(spark, rows).select(*user_cols)
 
     def materialize_base(self, sid: int) -> None:
         """Collapse a delta-chained snapshot into a standalone base
@@ -1027,10 +1144,9 @@ class Table:
 
         need_pos = apply_mor_deletes and bool(pos_rows)
         need_eq = apply_mor_deletes and bool(eq_rows)
-        df = scan_mod.read_data_files(
+        df = self.read_data_rows(
             spark,
-            [r["path"] for r in data_rows],
-            schema=self.physical_schema(),
+            data_rows,
             with_file=with_hidden or need_pos,
             with_pos=with_hidden or need_pos,
             seq_by_path={r["path"]: r["sequence_number"] for r in data_rows}
