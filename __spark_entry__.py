@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_count": QP.q_metadata_count,
         "schema_evolution_scan": QP.q_schema_evolution_scan,
         "rename_evolution_scan": QP.q_rename_evolution_scan,
+        "type_evolution_scan": QP.q_type_evolution_scan,
         "stream_sessionization": QP.q_stream_sessionization,
         # --- training-data pipeline ---
         "exact_dedup": QP.q_exact_dedup,
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "metadata_count": QP.METADATA_COUNT_SQL,
         "schema_evolution_scan": QP.SCHEMA_EVOLUTION_SCAN_SQL,
         "rename_evolution_scan": QP.RENAME_EVOLUTION_SCAN_SQL,
+        "type_evolution_scan": QP.TYPE_EVOLUTION_SCAN_SQL,
         "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
         "exact_dedup": QP.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,

@@ -1039,6 +1039,50 @@ SELECT conv_id, turn_idx, text AS body FROM base
 """
 
 
+def q_type_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless type widening (turn_idx int→bigint) + a column added
+    with an initial default ('lang', default 'en'): pre-evolution files
+    read at the narrow type and materialize the default; post-evolution
+    rows keep their own values (including genuine NULLs). Metadata-only
+    — no rewrite."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_tev_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.filter(F.col("turn_idx") % 2 == 0))
+        table.widen_column("turn_idx", "bigint")
+        table.add_column("lang", "string", default="en")
+        late = base.filter(F.col("turn_idx") % 2 == 1).select(
+            "conv_id",
+            (F.col("turn_idx").cast("bigint") + F.lit(1_000_000_000_000)).alias("turn_idx"),
+            "role", "text", "tool", "ts",
+            F.when(F.col("turn_idx") % 3 == 0, F.lit("fr")).alias("lang"),
+        )
+        table.append_dataframe(late)
+        out = table.scan(spark).select("conv_id", "turn_idx", "lang")
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+TYPE_EVOLUTION_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, 'en' AS lang
+FROM base WHERE turn_idx % 2 = 0
+UNION ALL
+SELECT conv_id, CAST(turn_idx AS BIGINT) + 1000000000000 AS turn_idx,
+       CASE WHEN turn_idx % 3 = 0 THEN 'fr' END AS lang
+FROM base WHERE turn_idx % 2 = 1
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: Jaccard-similar pairs become an
     undirected graph; connected components (distributed min-label

@@ -253,12 +253,87 @@ class Table:
                 fi.stats_json = json.dumps(st, sort_keys=True)
         return infos
 
-    def add_column(self, name: str, ddl_type: str) -> None:
+    #: legal lossless promotions (Iceberg type-promotion table)
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def add_column(self, name: str, ddl_type: str, default=None) -> None:
         """Append a nullable column. Existing files never change; scans
-        return NULL for rows written before the column existed."""
+        return ``default`` (Iceberg v3 initial-default; NULL when
+        unset) for rows written before the column existed — and ONLY
+        for those rows: post-add files with genuine NULLs keep them."""
         if name in self.user_columns():
             raise ValidationError(f"column {name} already exists")
         self.meta["schema_ddl"] = f"{self.meta['schema_ddl']}, {name} {ddl_type}"
+        if default is not None:
+            self.meta["column_defaults"] = (self.meta.get("column_defaults") or []) + [
+                {
+                    "seq": self.sequence_number,
+                    "ord": self._next_evo_ord(),
+                    "col": name,
+                    "value": default,
+                }
+            ]
+        self._write_meta()
+
+    def _next_evo_ord(self) -> int:
+        """Strict recording order across ALL schema-evolution events:
+        several can share one commit seq (back-to-back renames with no
+        commit between), and epoch resolution must replay them
+        newest-first."""
+        return (
+            len(self.meta.get("renames") or [])
+            + len(self.meta.get("widenings") or [])
+            + len(self.meta.get("column_defaults") or [])
+        )
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Lossless type promotion (int→bigint, float→double, …),
+        metadata-only: old files keep the narrow physical type; reads
+        cast per epoch. Iceberg's type-promotion rules gate what's
+        legal."""
+        new_type = new_type.strip().lower()
+        cols = self.user_columns()
+        if name not in cols:
+            raise ValidationError(f"no such column {name}")
+        cur_type = None
+        pieces, depth, cur = [], 0, ""
+        for ch in self.meta["schema_ddl"]:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                pieces.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            pieces.append(cur)
+        out = []
+        for p in pieces:
+            cname, rest = p.strip().split(None, 1)
+            if cname.strip("`") == name:
+                cur_type = rest.strip().lower()
+                out.append(f"{name} {new_type}")
+            else:
+                out.append(p.strip())
+        if new_type not in Table._WIDENINGS.get(cur_type, set()):
+            raise ValidationError(f"cannot widen {name}: {cur_type} → {new_type}")
+        self.meta["schema_ddl"] = ", ".join(out)
+        self.meta["widenings"] = (self.meta.get("widenings") or []) + [
+            {
+                "seq": self.sequence_number,
+                "ord": self._next_evo_ord(),
+                "col": name,
+                "from": cur_type,
+                "to": new_type,
+            }
+        ]
         self._write_meta()
 
     def drop_column(self, name: str) -> None:
@@ -333,26 +408,42 @@ class Table:
             out.append(f"{new} {rest}" if name.strip('`') == old else p.strip())
         self.meta["schema_ddl"] = ", ".join(out)
         self.meta["renames"] = (self.meta.get("renames") or []) + [
-            {"seq": self.sequence_number, "from": old, "to": new}
+            {"seq": self.sequence_number, "ord": self._next_evo_ord(), "from": old, "to": new}
         ]
         self._write_meta()
 
-    def _historic_names(self, file_seq: int) -> dict | None:
-        """{current name: physical name} for a file committed at
-        ``file_seq`` (renames recorded at seq >= file_seq happened
-        after the file was written). None when identity."""
-        rens = self.meta.get("renames") or []
-        if not rens:
-            return None
-        mapping = {}
+    def _epoch_info(self, file_seq: int) -> tuple[dict, dict, dict]:
+        """Schema-evolution view of a file committed at ``file_seq``:
+        (current→physical name, current→physical ddl type for widened
+        columns, current→initial default for columns added later).
+        Events recorded at seq >= file_seq happened AFTER the file was
+        written; walking them newest→oldest keeps the tracked name
+        aligned with each event's contemporary name, so renames,
+        widenings, and defaulted adds compose in any order."""
+        events = sorted(
+            [("rename", r) for r in (self.meta.get("renames") or [])]
+            + [("widen", w) for w in (self.meta.get("widenings") or [])]
+            + [("default", d) for d in (self.meta.get("column_defaults") or [])],
+            key=lambda e: (e[1]["seq"], e[1].get("ord", 0)),
+            reverse=True,
+        )
+        names: dict = {}
+        types: dict = {}
+        defaults: dict = {}
         for c in self.user_columns():
             name = c
-            for r in reversed(rens):
-                if r["seq"] >= file_seq and r["to"] == name:
-                    name = r["from"]
+            for kind, ev in events:
+                if ev["seq"] < file_seq:
+                    break
+                if kind == "rename" and ev["to"] == name:
+                    name = ev["from"]
+                elif kind == "widen" and ev["col"] == name:
+                    types[c] = ev["from"]  # older events narrow further
+                elif kind == "default" and ev["col"] == name:
+                    defaults[c] = ev["value"]  # file predates the column
             if name != c:
-                mapping[c] = name
-        return mapping or None
+                names[c] = name
+        return names, types, defaults
 
     def read_data_rows(
         self,
@@ -370,15 +461,25 @@ class Table:
         phys = self.physical_schema()
         groups: dict[tuple, list] = {}
         for r in rows:
-            mp = self._historic_names(r["sequence_number"])
-            key = tuple(sorted(mp.items())) if mp else ()
+            names, types, defaults = self._epoch_info(r["sequence_number"])
+            key = (
+                tuple(sorted(names.items())),
+                tuple(sorted(types.items())),
+                tuple(sorted(defaults.items())),
+            )
             groups.setdefault(key, []).append(r)
         parts = []
         for key, grp in sorted(groups.items()):
-            mp = dict(key)
+            names, types, defaults = (dict(k) for k in key)
             hist = T.StructType(
                 [
-                    T.StructField(mp.get(f.name, f.name), f.dataType, f.nullable)
+                    T.StructField(
+                        names.get(f.name, f.name),
+                        T.StructType.fromDDL(f"x {types[f.name]}")[0].dataType
+                        if f.name in types
+                        else f.dataType,
+                        f.nullable,
+                    )
                     for f in phys.fields
                 ]
             )
@@ -396,14 +497,24 @@ class Table:
                 with_pos=with_pos,
                 seq_by_path=sub_seq,
             )
-            if mp:
-                # one simultaneous projection, not sequential renames:
-                # name-reuse chains (a→b then c→a) would otherwise pass
-                # through a duplicate-column state
-                inv = {old_name: cur_name for cur_name, old_name in mp.items()}
-                df = df.select(
-                    [F.col(c).alias(inv.get(c, c)) for c in df.columns]
-                )
+            if names or types or defaults:
+                # one simultaneous projection — sequential renames would
+                # break on name-reuse chains (a→b then c→a); widened
+                # columns cast narrow→current; columns added later (with
+                # an initial default) materialize the default for these
+                # pre-add files only
+                inv = {old_name: cur_name for cur_name, old_name in names.items()}
+                by_cur = {f.name: f for f in phys.fields}
+                cols = []
+                for c in df.columns:
+                    cur = inv.get(c, c)
+                    expr = F.col(c)
+                    if cur in defaults:
+                        expr = F.lit(defaults[cur])
+                    if cur in by_cur and (cur in types or cur in defaults):
+                        expr = expr.cast(by_cur[cur].dataType)
+                    cols.append(expr.alias(cur))
+                df = df.select(cols)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:

@@ -101,6 +101,47 @@ def test_rename_guards(spark, tmp_warehouse):
         t.rename_column("conv_id", "conversation")  # live eq-delete key
 
 
+def test_widen_column_across_epochs(spark, tmp_warehouse):
+    t = _mk(spark, os.path.join(tmp_warehouse, "wd"), n=50)
+    with pytest.raises(ValidationError):
+        t.widen_column("turn_idx", "string")  # not a lossless promotion
+    with pytest.raises(ValidationError):
+        t.widen_column("nope", "bigint")
+    t.widen_column("turn_idx", "bigint")
+    big = 2**40
+    t.append_dataframe(spark.createDataFrame(
+        [("c9", big, "huge")], "conv_id string, turn_idx bigint, text string",
+    ))
+    rows = {r["turn_idx"]: r["text"] for r in t.scan(spark).collect()}
+    assert rows[big] == "huge" and rows[7] == "old_7" and len(rows) == 51
+    assert dict(t.scan(spark).dtypes)["turn_idx"] == "bigint"
+    # compaction rewrites old files at the widened type
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    CompactionRunner(
+        spark, t, CompactionConfig(selection=SelectionStrategy.FULL)
+    ).execute()
+    rows2 = {r["turn_idx"]: r["text"] for r in t.scan(spark).collect()}
+    assert rows2 == rows
+
+
+def test_add_column_with_default(spark, tmp_warehouse):
+    t = _mk(spark, os.path.join(tmp_warehouse, "dflt"), n=30)
+    t.add_column("lang", "string", default="en")
+    t.append_dataframe(spark.createDataFrame(
+        [("c9", 100, "x", "fr"), ("c9", 101, "y", None)],
+        "conv_id string, turn_idx int, text string, lang string",
+    ))
+    got = {r["turn_idx"]: r["lang"] for r in t.scan(spark).collect()}
+    assert got[0] == "en" and got[100] == "fr"
+    assert got[101] is None  # post-add NULLs stay NULL (not defaulted)
+    # default + rename compose
+    t.rename_column("lang", "language")
+    got2 = {r["turn_idx"]: r["language"] for r in t.scan(spark).collect()}
+    assert got2[0] == "en" and got2[100] == "fr" and got2[101] is None
+
+
 def test_changelog_and_incremental_across_rename(spark, tmp_warehouse):
     from iceberg_compaction_spark.operators.changelog import changelog_scan
 
