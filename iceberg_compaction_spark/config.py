@@ -53,6 +53,10 @@ class CompactionConfig:
     selection: SelectionStrategy = SelectionStrategy.SMALL_FILES
     grouping: GroupingStrategy = GroupingStrategy.BIN_PACK
     commit_mode: CommitMode = CommitMode.PLANNER_COMMIT
+    # Scope maintenance to specific partitions (None = all): the
+    # operational shape for hot-partition compaction — a year-long
+    # table maintains today's partition without planning over history.
+    partition_filter: Optional[tuple] = None
 
     # --- execution ---
     # Rows per output file cap (reference writer.rs:139-143 caps 500K

@@ -69,7 +69,14 @@ def with_delete_counts(spark: SparkSession, files_df: DataFrame) -> DataFrame:
 def select_files(
     spark: SparkSession, files_df: DataFrame, config: CompactionConfig
 ) -> DataFrame:
-    """P2/P3/P4 over the manifest DataFrame, post content filter (P5)."""
+    """P2/P3/P4 over the manifest DataFrame, post content filter (P5).
+    ``config.partition_filter`` scopes any strategy to named partitions
+    (hot-partition maintenance never plans over the table's history)."""
+    if config.partition_filter:
+        files_df = files_df.filter(
+            (F.col("content") != mf.CONTENT_DATA)
+            | F.col("partition").isin(list(config.partition_filter))
+        )
     strat = config.selection
     if strat == SelectionStrategy.FULL:
         return files_df.filter(F.col("content") == mf.CONTENT_DATA)

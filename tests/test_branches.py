@@ -82,6 +82,34 @@ def test_wap_conflict_when_main_moves(spark, tmp_warehouse):
         t.commit("append", added=[], branch="nope")
 
 
+def test_concurrent_branch_and_main_commits(spark, tmp_warehouse):
+    """Main and two branches committing from driver threads: ids stay
+    globally unique, every line's head resolves, row sets are exact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _mk(spark, os.path.join(tmp_warehouse, "conc"))
+    t.create_branch("b1")
+    t.create_branch("b2")
+    dfs = {
+        None: _df(spark, 1000, 1020, "m"),
+        "b1": _df(spark, 2000, 2030, "x"),
+        "b2": _df(spark, 3000, 3040, "y"),
+    }
+    infos = {br: t.write_data_files(df) for br, df in dfs.items()}
+
+    def commit(br):
+        return t.commit("append", added=infos[br], branch=br, retries=32)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        sids = list(ex.map(commit, dfs.keys()))
+    assert len(set(sids)) == 3
+    assert t.scan(spark).count() == 120
+    assert t.scan(spark, snapshot_id=t.ref_head("b1")).count() == 130
+    assert t.scan(spark, snapshot_id=t.ref_head("b2")).count() == 140
+    all_sids = [s["snapshot_id"] for s in t.snapshots()]
+    assert len(all_sids) == len(set(all_sids))
+
+
 def test_expiry_retains_branch_heads(spark, tmp_warehouse):
     from iceberg_compaction_spark.operators.maintenance import expire_snapshots
 

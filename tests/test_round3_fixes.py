@@ -285,6 +285,40 @@ def test_universal_shingle_cap_bounds_candidates(spark):
 
 
 # ---------------------------------------------------------------------------
+# partition-scoped maintenance
+def test_partition_filter_scopes_compaction(spark, tmp_warehouse):
+    from iceberg_compaction_spark.config import CompactionConfig, SelectionStrategy
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    t = create_transcripts_table(
+        spark, os.path.join(tmp_warehouse, "pf"), n_turns=8_000, n_convs=20,
+        n_files=6, partitioned=True, ts_step_s=60,
+    )
+    parts = sorted({r["partition"] for r in t.files(content="data")})
+    assert len(parts) >= 3
+    hot = parts[0]
+    before = {r["path"]: r["partition"] for r in t.files(content="data")}
+    before_state = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in t.scan(spark).select("conv_id", "turn_idx").collect()
+    )
+    res = CompactionRunner(
+        spark, t,
+        CompactionConfig(selection=SelectionStrategy.FULL, partition_filter=(hot,)),
+    ).execute()
+    assert res.bins_executed >= 1
+    after = t.files(content="data")
+    # other partitions keep their exact files; hot files are all new
+    assert {r["path"] for r in after if r["partition"] != hot} == {
+        p for p, part in before.items() if part != hot
+    }
+    assert all(r["path"] not in before for r in after if r["partition"] == hot)
+    after_state = sorted(
+        (r["conv_id"], r["turn_idx"]) for r in t.scan(spark).select("conv_id", "turn_idx").collect()
+    )
+    assert after_state == before_state
+
+
+# ---------------------------------------------------------------------------
 # transitive near-dup clustering
 def test_connected_components_vs_union_find(spark):
     from iceberg_compaction_spark.operators.dedup import (
