@@ -119,6 +119,15 @@ def write_manifest_sharded(
     by_part: dict[str, list] = {}
     for r in rows:
         by_part.setdefault(r.get("partition") or "", []).append(r)
+    # A committer that crashed after writing shards but before the CAS
+    # leaves a partial dir at this (unadvanced) snapshot id; a retry
+    # with a DIFFERENT partition set would otherwise inherit stale
+    # shards into its listing. Nothing references the dir pre-CAS:
+    # clear it.
+    if os.path.isdir(dir_path):
+        import shutil
+
+        shutil.rmtree(dir_path)
     os.makedirs(dir_path, exist_ok=True)
     shards: dict[str, str] = {}
     written = reused = 0

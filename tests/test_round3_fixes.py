@@ -162,6 +162,38 @@ def test_base_collapse_rewrites_only_touched_partition_shards(tmp_warehouse):
     assert sum(1 for rr in man if rr["partition"] == "p00") == files_per_part + n_extra
 
 
+def test_stale_shard_dir_from_crashed_commit_is_cleared(tmp_warehouse):
+    """A crashed committer leaves a partial manifest dir at a snapshot
+    id that a retry reuses — its stale shards must not leak into the
+    retried base's listing."""
+    t = Table.create(os.path.join(tmp_warehouse, "stale"), "conv_id string")
+    t.commit("append", added=[
+        mf.FileInfo(path=f"/x/p{p}.parquet", size_bytes=10, record_count=1,
+                    partition=f"p{p}", stats_json="{}")
+        for p in range(3)
+    ])
+    # fabricate the crash artifact at the NEXT sid (a base collapse dir
+    # holding a shard for a partition the retry won't write)
+    next_sid = t.sequence_number + 1
+    stale_dir = t._manifest_path(next_sid)
+    os.makedirs(stale_dir)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [mf.FileInfo(path="/ghost.parquet", size_bytes=1, record_count=1,
+                         partition="zombie", stats_json="{}").to_row()],
+            schema=mf.MANIFEST_SCHEMA,
+        ),
+        os.path.join(stale_dir, mf._shard_name("zombie")),
+    )
+    t.commit("append", added=[
+        mf.FileInfo(path="/x/new.parquet", size_bytes=5, record_count=1,
+                    partition="p0", stats_json="{}")
+    ], force_base=True)
+    paths = {r["path"] for r in t.manifest()}
+    assert "/ghost.parquet" not in paths
+    assert paths == {"/x/p0.parquet", "/x/p1.parquet", "/x/p2.parquet", "/x/new.parquet"}
+
+
 def test_sharded_base_survives_expiry_of_ancestors(tmp_warehouse):
     """Expiring the snapshot owning the linked-from shards must not
     break a retained snapshot's resolution (hard links, not refs)."""
