@@ -469,7 +469,9 @@ class Table:
             )
             groups.setdefault(key, []).append(r)
         parts = []
-        for key, grp in sorted(groups.items()):
+        # repr-keyed sort: default VALUES can differ in type across
+        # epochs, and raw tuple comparison would TypeError on int-vs-str
+        for key, grp in sorted(groups.items(), key=lambda kv: repr(kv[0])):
             names, types, defaults = (dict(k) for k in key)
             hist = T.StructType(
                 [
