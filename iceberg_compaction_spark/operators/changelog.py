@@ -55,7 +55,12 @@ def _chain(table: Table, from_sid: int | None, to_sid: int) -> list[int]:
     s: int | None = to_sid
     while s is not None and s != from_sid:
         out.append(s)
-        s = table.snapshot(s)["parent_id"]
+        try:
+            s = table.snapshot(s)["parent_id"]
+        except FileNotFoundError:
+            raise ValidationError(
+                f"changelog chain {from_sid}..{to_sid} crosses expired snapshot {s}"
+            ) from None
     if s != from_sid:
         raise ValidationError(f"{from_sid} is not an ancestor of {to_sid}")
     out.reverse()

@@ -62,9 +62,12 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
-#: production default for the hot-shingle document-frequency cap: a
-#: shingle in ≤10⁴ docs contributes ≤ ~5·10⁷ candidate pairs — bounded
-#: fan-out at any corpus size. Oracle/exactness callers pass ``None``.
+#: RECOMMENDED hot-shingle document-frequency cap for corpus-scale
+#: runs: a shingle in ≤10⁴ docs contributes ≤ ~5·10⁷ candidate pairs —
+#: bounded fan-out at any corpus size. NOT the default: the API
+#: default is ``None`` (exact), because silently capping would make
+#: every existing caller approximate. Production call sites opt in
+#: with ``max_shingle_df=DEFAULT_MAX_SHINGLE_DF``.
 DEFAULT_MAX_SHINGLE_DF = 10_000
 
 
@@ -73,20 +76,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over shared shingles: candidate pairs are
     generated ONLY for documents sharing ≥1 shingle (equi-join on the
     shingle), then |∩| / (|A|+|B|−|∩|). Returns (id_a < id_b, jaccard).
 
-    ``max_shingle_df``: document-frequency cap for candidate
-    generation. A shingle occurring in 10^6 documents would alone
-    create ~10^12 candidate pairs; capping drops such stopword-grams
-    from the *join side only* (each surviving shingle contributes at
-    most df·(df−1)/2 ≤ K² pairs). Sizes still count every shingle, so
-    with the cap off (default, oracle mode) jaccard is exact; with it
-    on, common counts are a lower bound — the standard trade for
-    bounded fan-out at corpus scale."""
+    ``max_shingle_df``: OPT-IN document-frequency cap for candidate
+    generation (``None`` = exact, the default). A shingle occurring in
+    10^6 documents would alone create ~10^12 candidate pairs; capping
+    drops such stopword-grams from the *join side only* (each
+    surviving shingle contributes at most df·(df−1)/2 ≤ K² pairs).
+    Sizes still count every shingle, so uncapped jaccard is exact;
+    WITH the cap, common counts are a LOWER BOUND — pairs whose only
+    shared shingles are hot are dropped. Corpus-scale callers should
+    pass ``DEFAULT_MAX_SHINGLE_DF`` (the standard trade for bounded
+    fan-out); oracle/exactness callers keep the default."""
     sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     joinable = sh
@@ -122,12 +127,14 @@ def ngram_jaccard_dedup(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Drop any document having a Jaccard-similar document with a
     smaller id (single-linkage approximated one level deep —
     deterministic and oracle-expressible; a full transitive closure
-    would iterate this to fixpoint)."""
+    would iterate this to fixpoint). ``max_shingle_df``: opt-in hot-
+    shingle cap, same exactness trade as ``ngram_jaccard_pairs`` —
+    corpus-scale callers pass ``DEFAULT_MAX_SHINGLE_DF``."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n, max_shingle_df).filter(
         F.col("jaccard") >= threshold
     )

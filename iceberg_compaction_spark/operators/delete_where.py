@@ -40,6 +40,7 @@ def delete_where(spark: SparkSession, table: Table, predicate: str) -> dict:
     row-scanned straddling path (the may-match convention that is
     conservative for pruning would be anti-conservative here)."""
     disjuncts = pruning.parse_predicate(predicate)
+    col_types = table.column_type_categories()
     data_rows = table.files(content=mf.CONTENT_DATA)
 
     full_drop: list[str] = []
@@ -49,9 +50,9 @@ def delete_where(spark: SparkSession, table: Table, predicate: str) -> dict:
             stats = json.loads(r.get("stats_json") or "{}")
         except ValueError:
             stats = {}
-        if not pruning.file_may_match_any(stats, disjuncts):
+        if not pruning.file_may_match_any(stats, disjuncts, col_types):
             continue  # provably no matching row: untouched
-        if pruning.file_all_match(stats, disjuncts):
+        if pruning.file_all_match(stats, disjuncts, col_types):
             full_drop.append(r["path"])
         else:
             candidates.append(r)

@@ -54,10 +54,25 @@ def expire_snapshots(
     by_id = sorted(snaps, key=lambda s: s["snapshot_id"])
     newest = {s["snapshot_id"] for s in by_id[-max(retain_last, 1):]}
     # named refs pin retention: tags AND branch heads (a branch mid-
-    # audit must stay readable until published or dropped)
+    # audit must stay readable until published or dropped) — plus the
+    # FULL PARENT CHAIN of every ref: fast_forward_main's ancestry
+    # check and the changelog chain walk follow parent_id through the
+    # whole history of a ref, so expiring a branch-interior or
+    # branch-ancestor snapshot would strand the ref (FileNotFoundError
+    # mid-walk, WAP publish permanently broken for multi-commit
+    # branches). Chains are walked on snapshot JSONs only (no manifest
+    # IO); drop the ref to release its history.
     tagged = set(table.tags().values()) | {
         v for v in table.refs().values() if v is not None
     }
+    for head in list(tagged):
+        s = head
+        while s is not None:
+            tagged.add(s)
+            try:
+                s = table.snapshot(s)["parent_id"]
+            except FileNotFoundError:  # pre-invariant history: stop clean
+                break
     retained = [
         s["snapshot_id"]
         for s in by_id

@@ -66,6 +66,7 @@ def fast_count(
         }
 
     disjuncts = pruning.parse_predicate(predicate)
+    col_types = table.column_type_categories()
     meta_count = 0
     meta_files = pruned = 0
     straddlers: list[dict] = []
@@ -74,9 +75,9 @@ def fast_count(
             stats = json.loads(r.get("stats_json") or "{}")
         except ValueError:
             stats = {}
-        if not pruning.file_may_match_any(stats, disjuncts):
+        if not pruning.file_may_match_any(stats, disjuncts, col_types):
             pruned += 1
-        elif pruning.file_all_match(stats, disjuncts):
+        elif pruning.file_all_match(stats, disjuncts, col_types):
             meta_count += r["record_count"]
             meta_files += 1
         else:

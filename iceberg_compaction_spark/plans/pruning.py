@@ -23,11 +23,19 @@ Design rules:
     prunes per disjunct, union of survivors). Supported conjuncts:
     ``col <op> literal`` for ``= == < <= > >=``, ``col BETWEEN x AND
     y``, ``col IN (...)``, ``col IS NULL``. Literals: numbers,
-    'strings', TIMESTAMP '...' / DATE '...'; bare string literals
-    shaped like datetimes compare as timestamps (Spark casts them when
-    the column is a timestamp, and the manifest stores isoformat-'T'
-    bounds — comparing raw would make ``ts <= '2024-06-02 23:59:59'``
-    wrongly prune every file because ' ' < 'T').
+    'strings', TIMESTAMP '...' / DATE '...'.
+  * **Bare string literals shaped like datetimes are type-resolved.**
+    Spark compares ``ts <= '2024-06-02 23:59:59'`` as a timestamp when
+    the column IS a timestamp (and the manifest stores isoformat-'T'
+    bounds, so the literal must be normalized to 'T' form or ' ' < 'T'
+    wrongly prunes everything) — but compares it as a RAW STRING when
+    the column is a string (where normalizing would invert Spark's
+    ordering and silently mis-prune / mis-drop). The parser therefore
+    tags such literals ``str_ts`` and the evaluators resolve them
+    against ``col_types`` (column name → 'ts' | 'str' | 'num' |
+    'other', from the table schema via ``col_type_categories``). With
+    no type information the literal is UNRESOLVABLE: may-match keeps
+    the file, all-match refuses to claim it — both conservative.
 
 Two evaluators with opposite defaults:
   * ``file_may_match`` / ``file_may_match_any`` — uncertainty ⇒ True
@@ -77,6 +85,41 @@ def _norm_ts(s: str) -> str:
 UNPARSED = ("__unparsed__", "?", ())
 
 
+def col_type_categories(schema) -> dict:
+    """{column name: 'ts' | 'str' | 'num' | 'other'} from a Spark
+    ``StructType`` — the type context ``str_ts`` literal resolution
+    needs. Duck-typed on ``fields``/``dataType.simpleString()`` so this
+    module keeps zero pyspark imports."""
+    out: dict = {}
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith("timestamp") or s == "date":
+            out[f.name] = "ts"
+        elif s in ("string", "varchar", "char") or s.startswith(("varchar", "char")):
+            out[f.name] = "str"
+        elif s in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+        ) or s.startswith("decimal"):
+            out[f.name] = "num"
+        else:
+            out[f.name] = "other"
+    return out
+
+
+def _resolve(kind: str, lit, cat: str | None):
+    """Resolve a parsed literal against its column's type category →
+    (kind, lit) with kind in {'num','str','ts'}, or None when the
+    right interpretation is unknowable (unknown column type for a
+    ``str_ts`` literal) — callers treat None as incomparable."""
+    if kind != "str_ts":
+        return kind, lit
+    if cat == "ts":
+        return "ts", _norm_ts(lit)
+    if cat == "str":
+        return "str", lit
+    return None
+
+
 def _split_top_level(expr: str, sep: str) -> list[str] | None:
     """Split on top-level ``sep`` ('AND' or 'OR') outside quotes and
     parens. A top-level NOT ⇒ None (structure we don't model). When
@@ -113,10 +156,11 @@ def _split_top_level(expr: str, sep: str) -> list[str] | None:
 
 
 def _parse_literal(s: str):
-    """→ (kind, value) with kind in {'num','str','ts'}. Integer
-    literals stay Python ints (lossless beyond 2^53); bare string
-    literals shaped like datetimes are normalized to kind 'ts' with a
-    'T' separator so they compare correctly against isoformat bounds."""
+    """→ (kind, value) with kind in {'num','str','ts','str_ts'}.
+    Integer literals stay Python ints (lossless beyond 2^53); bare
+    string literals shaped like datetimes become kind ``str_ts`` —
+    RAW value kept — and are resolved to 'ts' (normalized) or 'str'
+    per the column's actual type at evaluation time."""
     s = s.strip()
     up = s.upper()
     if up.startswith("TIMESTAMP") or up.startswith("DATE"):
@@ -125,7 +169,7 @@ def _parse_literal(s: str):
     if s and s[0] in "'\"":
         inner = s[1:-1]
         if _TS_SHAPED.match(inner):
-            return ("ts", _norm_ts(inner))
+            return ("str_ts", inner)
         return ("str", inner)
     if re.fullmatch(r"[-+]?\d+", s):
         return ("num", int(s))
@@ -243,6 +287,7 @@ def _compare(bound, kind: str, lit) -> int | None:
 
 
 def _eq_possible(st: dict, kind: str, lit) -> bool:
+    """``kind`` must already be resolved ('num'/'str'/'ts')."""
     c_min = _compare(st.get("min"), kind, lit)
     c_max = _compare(st.get("max"), kind, lit)
     if c_min is not None and c_min > 0:
@@ -263,9 +308,14 @@ def _eq_possible(st: dict, kind: str, lit) -> bool:
     return True
 
 
-def file_may_match(stats: dict, conjuncts: list[tuple]) -> bool:
+def file_may_match(
+    stats: dict, conjuncts: list[tuple], col_types: dict | None = None
+) -> bool:
     """True unless the file's bounds prove a conjunct can't hold.
-    ``conjuncts`` is a single conjunction (AND list)."""
+    ``conjuncts`` is a single conjunction (AND list). ``col_types``
+    (see ``col_type_categories``) resolves ts-shaped bare string
+    literals; without it such literals exclude nothing."""
+    cats = col_types or {}
     for col, op, lits in conjuncts:
         if (col, op) == (UNPARSED[0], UNPARSED[1]):
             continue  # unknown conjunct can't exclude
@@ -276,11 +326,18 @@ def file_may_match(stats: dict, conjuncts: list[tuple]) -> bool:
             if st.get("nulls") == 0:  # known-zero only; unknown is None
                 return False
             continue
+        cat = cats.get(col)
         if op == "in":
-            if lits and not any(_eq_possible(st, k, v) for k, v in lits):
+            rl = [_resolve(k, v, cat) for k, v in lits]
+            if rl and all(r is not None for r in rl) and not any(
+                _eq_possible(st, k, v) for k, v in rl
+            ):
                 return False
             continue
-        kind, lit = lits[0]
+        r = _resolve(*lits[0], cat)
+        if r is None:
+            continue  # unresolvable literal can't exclude
+        kind, lit = r
         c_min = _compare(st.get("min"), kind, lit)
         c_max = _compare(st.get("max"), kind, lit)
         if op == "=" and not _eq_possible(st, kind, lit):
@@ -296,12 +353,14 @@ def file_may_match(stats: dict, conjuncts: list[tuple]) -> bool:
     return True
 
 
-def file_may_match_any(stats: dict, disjuncts: list[list[tuple]] | None) -> bool:
+def file_may_match_any(
+    stats: dict, disjuncts: list[list[tuple]] | None, col_types: dict | None = None
+) -> bool:
     """OR-of-ANDs form: the file survives if any disjunct may match.
     ``None`` (undecomposable predicate) keeps everything."""
     if disjuncts is None or not disjuncts:
         return True
-    return any(file_may_match(stats, d) for d in disjuncts)
+    return any(file_may_match(stats, d, col_types) for d in disjuncts)
 
 
 # ----------------------------------------------------------------------
@@ -330,9 +389,10 @@ def _strict_compare(bound, kind: str, lit) -> int | None:
     return (bound > lit) - (bound < lit)
 
 
-def _conjunct_all_match(st: dict, op: str, lits) -> bool:
+def _conjunct_all_match(st: dict, op: str, lits, cat: str | None = None) -> bool:
     """True only when [min, max] with zero nulls PROVES every row
-    satisfies the conjunct."""
+    satisfies the conjunct. ``cat`` is the column's type category; a
+    ``str_ts`` literal with no type context can never prove."""
     if st is None or st.get("min") is None or st.get("max") is None:
         return False
     if st.get("nulls") != 0:  # unknown or nonzero nulls: a null row fails any comparison
@@ -344,11 +404,16 @@ def _conjunct_all_match(st: dict, op: str, lits) -> bool:
         if mn != mx:
             return False
         if op == "=":
-            k, v = lits[0]
-            c = _strict_compare(mn, k, v)
-            return c == 0
-        return any(_strict_compare(mn, k, v) == 0 for k, v in lits)
-    k, v = lits[0]
+            r = _resolve(*lits[0], cat)
+            if r is None:
+                return False
+            return _strict_compare(mn, *r) == 0
+        rl = [_resolve(k, v, cat) for k, v in lits]
+        return any(r is not None and _strict_compare(mn, *r) == 0 for r in rl)
+    r = _resolve(*lits[0], cat)
+    if r is None:
+        return False
+    k, v = r
     c_min = _strict_compare(mn, k, v)
     c_max = _strict_compare(mx, k, v)
     if c_min is None or c_max is None:
@@ -364,26 +429,38 @@ def _conjunct_all_match(st: dict, op: str, lits) -> bool:
     return False
 
 
-def file_all_match(stats: dict, disjuncts: list[list[tuple]] | None) -> bool:
+def file_all_match(
+    stats: dict, disjuncts: list[list[tuple]] | None, col_types: dict | None = None
+) -> bool:
     """True only when some disjunct provably holds for EVERY row of the
     file. Anti-conservative direction: any uncertainty — unknown
-    bounds, unknown null count, type mismatch, an UNPARSED conjunct —
+    bounds, unknown null count, type mismatch, an UNPARSED conjunct,
+    a ts-shaped string literal without column-type context —
     ⇒ False. Used by DELETE WHERE's metadata whole-file drop."""
     if disjuncts is None or not disjuncts:
         return False
+    cats = col_types or {}
     for d in disjuncts:
         if not d:
             continue
         if any(c is UNPARSED for c in d):
             continue
-        if all(_conjunct_all_match(stats.get(col), op, lits) for col, op, lits in d):
+        if all(
+            _conjunct_all_match(stats.get(col), op, lits, cats.get(col))
+            for col, op, lits in d
+        ):
             return True
     return False
 
 
-def prune_files(rows: list[dict], filter_expr: str) -> tuple[list[dict], int]:
+def prune_files(
+    rows: list[dict], filter_expr: str, col_types: dict | None = None
+) -> tuple[list[dict], int]:
     """(surviving manifest rows, pruned count) for a scan predicate.
-    ``rows`` are data-file manifest entries carrying ``stats_json``."""
+    ``rows`` are data-file manifest entries carrying ``stats_json``.
+    ``col_types`` (from ``col_type_categories``) lets ts-shaped bare
+    string literals prune on timestamp columns while comparing raw on
+    string columns; omitted ⇒ such literals prune nothing."""
     import json
 
     disjuncts = parse_predicate(filter_expr)
@@ -398,6 +475,6 @@ def prune_files(rows: list[dict], filter_expr: str) -> tuple[list[dict], int]:
             stats = json.loads(r.get("stats_json") or "{}")
         except ValueError:
             stats = {}
-        if file_may_match_any(stats, disjuncts):
+        if file_may_match_any(stats, disjuncts, col_types):
             kept.append(r)
     return kept, len(rows) - len(kept)

@@ -47,8 +47,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_compaction_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    # oracle mode: no df cap, exact pair set (production default caps
-    # hot shingles; see dedup.DEFAULT_MAX_SHINGLE_DF)
+    # exact pair set (the API default; corpus-scale callers opt into
+    # the hot-shingle cap via dedup.DEFAULT_MAX_SHINGLE_DF)
     pairs = ngram_jaccard_pairs(docs, max_shingle_df=None).filter(F.col("jaccard") >= 0.2)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 

@@ -529,6 +529,16 @@ class Table:
             s = T.StructType(list(s.fields) + [T.StructField(PART_COL, T.StringType())])
         return s
 
+    def column_type_categories(self) -> dict:
+        """{column: 'ts'|'str'|'num'|'other'} over the physical schema —
+        the type context the stats pruner needs so ts-shaped string
+        literals normalize ONLY on real timestamp/date columns (on a
+        string column Spark compares them raw, and so must the
+        pruner)."""
+        from iceberg_compaction_spark.plans import pruning
+
+        return pruning.col_type_categories(self.physical_schema())
+
     # ------------------------------------------------------------------
     # snapshot state
     def _read_current(self) -> dict:
@@ -824,16 +834,26 @@ class Table:
 
     def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
         """Branch off ``snapshot_id`` (default: current main head; a
-        branch may start from an empty table as ``None``)."""
-        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
-        if sid is not None and not os.path.exists(self._snap_path(sid)):
-            raise ValidationError(f"cannot branch from unknown snapshot {sid}")
-        refs = self.refs()
-        if name in refs:
-            raise ValidationError(f"branch {name} already exists")
-        refs[name] = sid
-        self._write_refs(refs)
-        return sid
+        branch may start from an empty table as ``None``). Mutates
+        refs.json UNDER THE COMMIT LOCK: branch commits rewrite the
+        same file under the lock, so an unlocked read-modify-write here
+        could lose a concurrent branch commit (or vice versa)."""
+
+        def attempt() -> int:
+            with self._lock():
+                sid = (
+                    snapshot_id if snapshot_id is not None else self.current_snapshot_id
+                )
+                if sid is not None and not os.path.exists(self._snap_path(sid)):
+                    raise ValidationError(f"cannot branch from unknown snapshot {sid}")
+                refs = self.refs()
+                if name in refs:
+                    raise ValidationError(f"branch {name} already exists")
+                refs[name] = sid
+                self._write_refs(refs)
+                return sid
+
+        return with_retry(attempt, retries=5, base_s=0.05, cap_s=5.0, retry_on=(LockBusy,))
 
     def ref_head(self, name: str) -> int | None:
         refs = self.refs()
@@ -842,20 +862,33 @@ class Table:
         return refs[name]
 
     def drop_branch(self, name: str) -> None:
-        refs = self.refs()
-        refs.pop(name, None)
-        self._write_refs(refs)
+        def attempt() -> None:
+            with self._lock():
+                refs = self.refs()
+                refs.pop(name, None)
+                self._write_refs(refs)
+
+        with_retry(attempt, retries=5, base_s=0.05, cap_s=5.0, retry_on=(LockBusy,))
 
     def _is_ancestor(self, maybe_ancestor: int | None, sid: int | None) -> bool:
         """True when ``maybe_ancestor`` lies on ``sid``'s parent chain
-        (None is everyone's ancestor: the empty table)."""
+        (None is everyone's ancestor: the empty table). A chain that
+        crosses an expired snapshot raises a clean ValidationError
+        instead of FileNotFoundError (snapshot expiry retains every
+        ref's ancestry, so this only fires on histories expired before
+        that invariant existed or on corrupted metadata)."""
         if maybe_ancestor is None:
             return True
         s = sid
         while s is not None:
             if s == maybe_ancestor:
                 return True
-            s = self.snapshot(s)["parent_id"]
+            try:
+                s = self.snapshot(s)["parent_id"]
+            except FileNotFoundError:
+                raise ValidationError(
+                    f"ancestry walk from {sid} crossed expired snapshot {s}"
+                ) from None
         return False
 
     def fast_forward_main(self, branch: str) -> int:
@@ -884,9 +917,13 @@ class Table:
         """Roll the table back to an older snapshot's CONTENT as a new
         commit (history preserved, like Iceberg's rollback): the diff
         vs the current listing is committed, so delta-manifest IO stays
-        O(changed files)."""
+        O(changed files). The current snapshot id is captured BEFORE
+        the diff and pinned as ``expected_snapshot_id`` — a commit
+        racing in between surfaces as CommitConflict instead of being
+        silently folded into the 'rollback'."""
+        cur_sid = self.current_snapshot_id
         target = {r["path"]: r for r in self.manifest(snapshot_id)}
-        current = {r["path"]: r for r in self.manifest()}
+        current = {r["path"]: r for r in self.manifest(cur_sid)}
         added = [
             mf.FileInfo(**{k: r[k] for k in (
                 "path", "content", "size_bytes", "record_count", "sequence_number",
@@ -900,6 +937,7 @@ class Table:
             "rollback",
             added=added,
             removed_paths=removed,
+            expected_snapshot_id=cur_sid,
             extra_summary={"rolled_back_to": snapshot_id},
         )
 
@@ -1242,7 +1280,9 @@ class Table:
         if filter and data_rows:
             from iceberg_compaction_spark.plans import pruning
 
-            data_rows, pruned = pruning.prune_files(data_rows, filter)
+            data_rows, pruned = pruning.prune_files(
+                data_rows, filter, col_types=self.column_type_categories()
+            )
             self.last_scan_pruned_files = pruned
             METRICS.inc("scan.files_pruned", pruned)
         METRICS.inc("scan.files_scanned", len(data_rows))

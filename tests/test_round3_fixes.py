@@ -23,15 +23,18 @@ from iceberg_compaction_spark.sources.table import Table
 # ADVICE: plain string timestamp literals (space separator) must compare
 # as instants against isoformat ('T') bounds — not raw strings
 def test_string_ts_literal_does_not_misprune():
+    ct = {"ts": "ts"}  # round 4: ts-shaped string literals resolve per column type
     st = {"ts": {"min": "2024-06-02T01:00:00", "max": "2024-06-02T12:00:00", "nulls": 0}}
     # file entirely inside the range: must be kept for both separators
     for lit in ("2024-06-02 23:59:59", "2024-06-02T23:59:59"):
-        assert pruning.file_may_match(st, pruning.parse_conjuncts(f"ts <= '{lit}'"))
-    assert pruning.file_may_match(st, pruning.parse_conjuncts("ts = '2024-06-02 03:00:00'"))
+        assert pruning.file_may_match(st, pruning.parse_conjuncts(f"ts <= '{lit}'"), ct)
+    assert pruning.file_may_match(st, pruning.parse_conjuncts("ts = '2024-06-02 03:00:00'"), ct)
     # tz-suffixed bounds (isoformat of tz-aware datetimes) normalize too
     st2 = {"ts": {"min": "2024-06-02T01:00:00+00:00", "max": "2024-06-02T12:00:00+00:00", "nulls": 0}}
-    assert pruning.file_may_match(st2, pruning.parse_conjuncts("ts <= '2024-06-02 23:59:59'"))
-    assert not pruning.file_may_match(st2, pruning.parse_conjuncts("ts > '2024-06-02 23:59:59'"))
+    assert pruning.file_may_match(st2, pruning.parse_conjuncts("ts <= '2024-06-02 23:59:59'"), ct)
+    assert not pruning.file_may_match(st2, pruning.parse_conjuncts("ts > '2024-06-02 23:59:59'"), ct)
+    # WITHOUT type context the literal is unresolvable: never excludes
+    assert pruning.file_may_match(st2, pruning.parse_conjuncts("ts > '2024-06-02 23:59:59'"))
 
 
 def test_scan_with_space_separator_string_filter(spark, tmp_warehouse):
