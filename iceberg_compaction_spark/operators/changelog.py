@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from iceberg_compaction_spark.errors import ValidationError
 from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL, SEQ_COL
+from iceberg_compaction_spark.plans import delete_scope
 from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources import scan as scan_mod
 from iceberg_compaction_spark.sources.table import Table
@@ -114,32 +115,77 @@ def changelog_scan(
         if added_data:
             frames.append(_tag(table.read_data_rows(spark, added_data), "insert"))
 
-        needs_parent = removed_data or added_pos or added_eq
-        if needs_parent and parent is not None:
-            # parent-visible rows with hidden (file, pos) for targeting
-            par_scan = table.scan(spark, snapshot_id=parent, with_hidden=True)
+        if parent is not None and (removed_data or added_pos or added_eq):
+            par_data = [r for r in par.values() if r["content"] == mf.CONTENT_DATA]
             if removed_data:
-                rm = spark.createDataFrame(
-                    [(r["path"],) for r in removed_data], f"{FILE_COL} string"
-                )
+                # the removed files themselves ARE the scope: scan just
+                # them (MoR-resolved at the parent) instead of scanning
+                # the whole parent and semi-joining it down
                 frames.append(
-                    _tag(par_scan.join(F.broadcast(rm), FILE_COL, "left_semi"), "delete")
+                    _tag(
+                        table.scan(
+                            spark,
+                            snapshot_id=parent,
+                            with_hidden=True,
+                            paths=[r["path"] for r in removed_data],
+                        ),
+                        "delete",
+                    )
                 )
             if added_pos:
-                refs = scan_mod.read_position_deletes(
-                    spark, [r["path"] for r in added_pos]
-                )
-                frames.append(
-                    _tag(par_scan.join(refs, [FILE_COL, POS_COL], "left_semi"), "delete")
-                )
-            for keys, grp in _group_eq(added_eq):
-                eq_df = scan_mod.read_equality_deletes(
-                    spark, [(r["path"], r["sequence_number"]) for r in grp], list(keys)
-                )
-                key_df = eq_df.select(*keys).distinct()
-                # every live parent row has seq < the new delete's seq,
-                # so a plain key semi-join is exact
-                frames.append(_tag(par_scan.join(key_df, list(keys), "left_semi"), "delete"))
+                # only parent files a pos-delete's _file bounds can
+                # reference need scanning (delete_scope twin, per file)
+                target_paths = [
+                    r["path"]
+                    for r in par_data
+                    if any(
+                        delete_scope.pos_delete_applicable(d, [r["path"]])
+                        for d in added_pos
+                    )
+                ]
+                if target_paths:
+                    par_scan = table.scan(
+                        spark, snapshot_id=parent, with_hidden=True, paths=target_paths
+                    )
+                    refs = scan_mod.read_position_deletes(
+                        spark, [r["path"] for r in added_pos]
+                    )
+                    frames.append(
+                        _tag(
+                            par_scan.join(refs, [FILE_COL, POS_COL], "left_semi"),
+                            "delete",
+                        )
+                    )
+            if added_eq:
+                # only parent files whose own key bounds overlap some
+                # added eq-delete's bounds (and whose seq is older) can
+                # lose rows — a one-partition MERGE's CDC costs one
+                # partition's scan, not the parent table's
+                keys_all = sorted({k for r in added_eq for k in (r["equality_ids"] or [])})
+                target_paths = []
+                for r in par_data:
+                    fb = delete_scope.union_key_bounds([r], keys_all)
+                    if any(
+                        delete_scope.eq_delete_applicable(d, fb, r["sequence_number"])
+                        for d in added_eq
+                    ):
+                        target_paths.append(r["path"])
+                if target_paths:
+                    par_scan = table.scan(
+                        spark, snapshot_id=parent, with_hidden=True, paths=target_paths
+                    )
+                    for keys, grp in _group_eq(added_eq):
+                        eq_df = scan_mod.read_equality_deletes(
+                            spark,
+                            [(r["path"], r["sequence_number"]) for r in grp],
+                            list(keys),
+                        )
+                        key_df = eq_df.select(*keys).distinct()
+                        # every live parent row has seq < the new delete's
+                        # seq, so a plain key semi-join is exact
+                        frames.append(
+                            _tag(par_scan.join(key_df, list(keys), "left_semi"), "delete")
+                        )
 
         # REMOVING a delete file resurrects rows (rollback of a delete):
         # rows visible at THIS snapshot that the removed delete file was
@@ -148,31 +194,64 @@ def changelog_scan(
         # (pos refs are exact; for eq, row_seq < delete_seq ⇒ it was
         # covered — any other still-live delete would hide it now too).
         if removed_pos or removed_eq:
-            cur_scan = table.scan(spark, snapshot_id=sid, with_hidden=True)
+            cur_data = [r for r in cur.values() if r["content"] == mf.CONTENT_DATA]
             resurrected: list[DataFrame] = []
             if removed_pos:
-                refs = scan_mod.read_position_deletes(
-                    spark, [r["path"] for r in removed_pos]
-                )
-                resurrected.append(cur_scan.join(refs, [FILE_COL, POS_COL], "left_semi"))
-            for keys, grp in _group_eq(removed_eq):
-                eq_df = scan_mod.read_equality_deletes(
-                    spark, [(r["path"], r["sequence_number"]) for r in grp], list(keys)
-                ).withColumnRenamed(SEQ_COL, "_del_seq")
-                resurrected.append(
-                    cur_scan.join(
-                        F.broadcast(eq_df.select(*keys, "_del_seq").distinct()),
-                        list(keys),
+                target_paths = [
+                    r["path"]
+                    for r in cur_data
+                    if any(
+                        delete_scope.pos_delete_applicable(d, [r["path"]])
+                        for d in removed_pos
                     )
-                    .filter(F.col(SEQ_COL) < F.col("_del_seq"))
-                    .drop("_del_seq")
+                ]
+                if target_paths:
+                    cur_scan = table.scan(
+                        spark, snapshot_id=sid, with_hidden=True, paths=target_paths
+                    )
+                    refs = scan_mod.read_position_deletes(
+                        spark, [r["path"] for r in removed_pos]
+                    )
+                    resurrected.append(
+                        cur_scan.join(refs, [FILE_COL, POS_COL], "left_semi")
+                    )
+            if removed_eq:
+                keys_all = sorted(
+                    {k for r in removed_eq for k in (r["equality_ids"] or [])}
                 )
-            res = resurrected[0]
-            for r in resurrected[1:]:
-                res = res.unionByName(r, allowMissingColumns=True)
-            # one insert per physical row even when several removed
-            # delete files covered it
-            frames.append(_tag(res.dropDuplicates([FILE_COL, POS_COL]), "insert"))
+                target_paths = []
+                for r in cur_data:
+                    fb = delete_scope.union_key_bounds([r], keys_all)
+                    if any(
+                        delete_scope.eq_delete_applicable(d, fb, r["sequence_number"])
+                        for d in removed_eq
+                    ):
+                        target_paths.append(r["path"])
+                if target_paths:
+                    cur_scan = table.scan(
+                        spark, snapshot_id=sid, with_hidden=True, paths=target_paths
+                    )
+                    for keys, grp in _group_eq(removed_eq):
+                        eq_df = scan_mod.read_equality_deletes(
+                            spark,
+                            [(r["path"], r["sequence_number"]) for r in grp],
+                            list(keys),
+                        ).withColumnRenamed(SEQ_COL, "_del_seq")
+                        resurrected.append(
+                            cur_scan.join(
+                                F.broadcast(eq_df.select(*keys, "_del_seq").distinct()),
+                                list(keys),
+                            )
+                            .filter(F.col(SEQ_COL) < F.col("_del_seq"))
+                            .drop("_del_seq")
+                        )
+            if resurrected:
+                res = resurrected[0]
+                for r in resurrected[1:]:
+                    res = res.unionByName(r, allowMissingColumns=True)
+                # one insert per physical row even when several removed
+                # delete files covered it
+                frames.append(_tag(res.dropDuplicates([FILE_COL, POS_COL]), "insert"))
 
     out = empty
     for f in frames:

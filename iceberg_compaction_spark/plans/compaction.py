@@ -229,10 +229,28 @@ class CompactionRunner:
 
     # ------------------------------------------------------------------
     def _delete_frames(self, snapshot_id: int, bin_paths: list[str]):
-        """Delete DataFrames relevant to one bin + broadcast hints."""
+        """Delete DataFrames relevant to one bin + broadcast hints.
+
+        Deletes are SCOPED to the bin's data files before being read
+        (``plans/delete_scope``, mirroring the reference's per-task
+        attached deletes, file_selection.rs:82-131): a bin only opens
+        pos-delete files whose ``_file`` bounds bracket one of its
+        paths and eq-delete files whose seq exceeds the bin's min data
+        seq with key bounds overlapping the bin's — so a one-partition
+        MERGE's delete set is read by that partition's bins only, not
+        by every bin of the table."""
+        from iceberg_compaction_spark.plans import delete_scope
+
         man = self.table.manifest(snapshot_id)
-        pos_rows = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
-        eq_rows = [r for r in man if r["content"] == mf.CONTENT_EQ_DEL]
+        bin_set = set(bin_paths)
+        data_rows = [
+            r for r in man if r["content"] == mf.CONTENT_DATA and r["path"] in bin_set
+        ]
+        pos_rows, eq_rows = delete_scope.scope_deletes(
+            data_rows,
+            [r for r in man if r["content"] == mf.CONTENT_POS_DEL],
+            [r for r in man if r["content"] == mf.CONTENT_EQ_DEL],
+        )
         pos_df = None
         broadcast_pos = False
         if pos_rows:
@@ -255,6 +273,7 @@ class CompactionRunner:
                     sum(r["size_bytes"] for r in grp) < self.config.inline_delete_threshold_bytes
                 )
                 eq_groups.append((keys, eq_df, small))
+        GLOBAL.inc("compaction.delete_files_attached", len(pos_rows) + len(eq_rows))
         return pos_df, broadcast_pos, eq_groups
 
     @staticmethod

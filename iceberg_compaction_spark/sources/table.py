@@ -86,8 +86,11 @@ class Table:
         self.location = os.path.abspath(location)
         self.meta = meta
         # observability for the most recent scan(filter=...) on this
-        # handle: how many data files the manifest bounds excluded
+        # handle: how many data files the manifest bounds excluded, and
+        # how many delete files survived per-scan scoping (plan tests)
         self.last_scan_pruned_files = 0
+        self.last_scan_pos_delete_files = 0
+        self.last_scan_eq_delete_files = 0
 
     # ------------------------------------------------------------------
     # paths
@@ -1252,6 +1255,7 @@ class Table:
         with_hidden: bool = False,
         inline_delete_threshold: int = 10 << 20,
         filter: str | None = None,
+        paths: Sequence[str] | None = None,
     ) -> DataFrame:
         """Snapshot-pinned MoR read: data files minus position/equality
         deletes, projected to user columns (SURVEY.md §3.4 grammar).
@@ -1259,6 +1263,19 @@ class Table:
         exists, like the reference (file_scan.rs:195-212). Delete sets
         under ``inline_delete_threshold`` bytes get an explicit
         broadcast hint (InlineDeleteData, README.md:60-69).
+
+        ``paths``: restrict the read to these data files (they must be
+        live in the snapshot) — the file-subset scan changelog and
+        maintenance use; MoR resolution still applies, scoped to the
+        subset.
+
+        Delete files are SCOPED to the surviving data files before any
+        are read (``plans/delete_scope``, mirroring the reference's
+        per-FileScanTask attached deletes, file_selection.rs:82-131):
+        an eq-delete whose sequence or key bounds prove it disjoint
+        from every scanned file — or a pos-delete whose ``_file``
+        bounds bracket none of them — is never opened. Counts exposed
+        via ``last_scan_{pos,eq}_delete_files``.
 
         ``filter``: a SQL predicate. Two layers, like Iceberg scan
         planning (reference file_selection.rs:29 pins a snapshot scan
@@ -1276,6 +1293,10 @@ class Table:
         eq_rows = [r for r in rows if r["content"] == mf.CONTENT_EQ_DEL]
         user_cols = list(columns or self.user_columns())
 
+        if paths is not None:
+            want = set(paths)
+            data_rows = [r for r in data_rows if r["path"] in want]
+
         self.last_scan_pruned_files = 0
         if filter and data_rows:
             from iceberg_compaction_spark.plans import pruning
@@ -1286,6 +1307,14 @@ class Table:
             self.last_scan_pruned_files = pruned
             METRICS.inc("scan.files_pruned", pruned)
         METRICS.inc("scan.files_scanned", len(data_rows))
+
+        if apply_mor_deletes and (pos_rows or eq_rows):
+            from iceberg_compaction_spark.plans import delete_scope
+
+            pos_rows, eq_rows = delete_scope.scope_deletes(data_rows, pos_rows, eq_rows)
+        self.last_scan_pos_delete_files = len(pos_rows)
+        self.last_scan_eq_delete_files = len(eq_rows)
+        METRICS.inc("scan.delete_files_attached", len(pos_rows) + len(eq_rows))
 
         if not data_rows:
             # physical schema so a filter referencing the partition
