@@ -20,21 +20,33 @@ cost a scanned file.
 Layout inside a manifest ``stats_json`` column entry::
 
     {"min": …, "max": …, "nulls": …,
-     "bloom": {"m": bits, "k": hashes, "b64": base64(bitmap)}}
+     "bloom": {"m": bits, "k": hashes, "t": "str"|"long",
+               "ref": sidecar_path, "key": data_file_path}}
 
-Sizing: m = n·ln(1/fpp)/ln(2)² bits (≈9.6 bits/key at 1% fpp), k = 7.
-A 10^6-distinct-key file costs ~1.2 MB of manifest at 1% fpp — use a
-coarser fpp or restrict bloom columns when manifests must stay lean.
+The BITMAP lives OUT OF LINE in a sidecar file (Puffin-style, one
+sidecar per write batch per column, ``meta/blooms/``), loaded lazily —
+and only for files that survive min/max pruning. The manifest carries
+just the ~100-byte descriptor, so a 10⁴-file bloomed table's
+driver-resolved manifest stays manifest-sized instead of gaining
+~1.2 MB/file of base64 (m = n·ln(1/fpp)/ln(2)² ≈ 9.6 bits/key at 1%
+fpp, k = 7). Sidecars are immutable (uuid names): the probe-side cache
+never goes stale; orphan cleanup sweeps unreferenced ones. Inline
+``{"b64": …}`` blooms from older manifests still probe (back-compat).
 """
 
 from __future__ import annotations
 
 import base64
+import json
 import math
+import os
+import uuid as _uuid
+from threading import Lock
 
 import numpy as np
 
 from iceberg_compaction_spark.functions.xxh import xxh64
+from iceberg_compaction_spark.metrics import GLOBAL as METRICS
 
 _K = 7
 _U64 = np.uint64
@@ -78,10 +90,61 @@ def build_bitmap(hs: np.ndarray, fpp: float = 0.01) -> tuple[str, int, int]:
     return base64.b64encode(packed.tobytes()).decode("ascii"), m, k
 
 
+# sidecar bitmap cache: path → {data file path: decoded bitmap bytes}.
+# Sidecars are immutable (uuid-named), so entries never go stale; a
+# small LRU bounds driver memory at many-table sessions.
+_SIDECAR_CACHE: dict = {}
+_SIDECAR_CACHE_MAX = 64
+_SIDECAR_LOCK = Lock()
+
+
+def _load_sidecar(path: str) -> dict | None:
+    """{key: bitmap bytes} for one sidecar file (cached), or None when
+    the sidecar is missing/corrupt (probe degrades to 'maybe')."""
+    with _SIDECAR_LOCK:
+        if path in _SIDECAR_CACHE:
+            return _SIDECAR_CACHE[path]
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+        decoded = {k: base64.b64decode(v) for k, v in payload.items()}
+    except (OSError, ValueError, TypeError):
+        decoded = None
+    METRICS.inc("bloom.sidecar_loads")
+    with _SIDECAR_LOCK:
+        if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+            _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+        _SIDECAR_CACHE[path] = decoded
+    return decoded
+
+
+def write_sidecar(blooms: dict, dir_path: str, column: str) -> dict:
+    """Write ``{file path: {"b64","m","k","t"}}`` bitmaps as ONE
+    sidecar file under ``dir_path`` → {file path: manifest descriptor}
+    (``{"m","k","t","ref","key"}``, no bitmap). Atomic (tmp + replace);
+    uuid-named so sidecars are immutable."""
+    if not blooms:
+        return {}
+    os.makedirs(dir_path, exist_ok=True)
+    path = os.path.join(dir_path, f"bloom-{_uuid.uuid4().hex[:12]}-{column}.json")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({p: b["b64"] for p, b in blooms.items()}, f)
+    os.replace(tmp, path)
+    return {
+        p: {"m": b["m"], "k": b["k"], "t": b["t"], "ref": path, "key": p}
+        for p, b in blooms.items()
+    }
+
+
 def maybe_contains(bloom: dict, value) -> bool:
     """Driver-side probe: False ⇒ the file DEFINITELY lacks ``value``
-    (safe to prune); True ⇒ maybe present. Malformed blooms, or a value
-    whose type doesn't match the bloom's key type, → True.
+    (safe to prune); True ⇒ maybe present. Malformed blooms, a missing
+    sidecar, or a value whose type doesn't match the bloom's key type
+    → True. The bitmap is fetched lazily: inline ``b64`` (legacy
+    manifests) or a cached sidecar load via ``ref``/``key`` — callers
+    only probe files that already survived min/max pruning, so sidecar
+    IO is bounded by the survivor count, not the table's file count.
 
     Key encodings mirror Spark's ``xxhash64`` input layout exactly
     (pinned by tests): strings hash their UTF-8 bytes; long keys hash
@@ -89,7 +152,13 @@ def maybe_contains(bloom: dict, value) -> bool:
     integral columns to long for the same reason)."""
     try:
         m = int(bloom["m"])
-        raw = base64.b64decode(bloom["b64"])
+        if "b64" in bloom:
+            raw = base64.b64decode(bloom["b64"])
+        else:
+            side = _load_sidecar(bloom["ref"])
+            raw = None if side is None else side.get(bloom["key"])
+            if raw is None:
+                return True
     except (KeyError, TypeError, ValueError):
         return True
     t = bloom.get("t", "str")

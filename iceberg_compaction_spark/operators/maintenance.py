@@ -132,14 +132,32 @@ def clean_orphan_files(
     if unreferenced), defaulting to now (tests) — production would use
     now − several hours.
     """
+    import json as _json
+
     cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) + 1
     live: set = set()
+    live_sidecars: set = set()
     for s in table.snapshots():
-        live |= {r["path"] for r in table.manifest(s["snapshot_id"])}
+        for r in table.manifest(s["snapshot_id"]):
+            live.add(r["path"])
+            sj = r.get("stats_json") or ""
+            if '"ref"' in sj:  # cheap filter before the JSON decode
+                for st in _json.loads(sj).values():
+                    bl = st.get("bloom") if isinstance(st, dict) else None
+                    if bl and bl.get("ref"):
+                        live_sidecars.add(bl["ref"])
     orphans = []
     for root in (table.data_dir, table.deletes_dir):
         for p in mf.list_parquet_files(root):
             if p not in live and os.path.getmtime(p) * 1000 < cutoff:
+                orphans.append(p)
+    # bloom sidecars referenced by NO snapshot's manifest (their data
+    # files were expired or orphaned) are swept on the same cutoff
+    blooms_dir = os.path.join(table._meta_dir, "blooms")
+    if os.path.isdir(blooms_dir):
+        for fn in sorted(os.listdir(blooms_dir)):
+            p = os.path.join(blooms_dir, fn)
+            if p not in live_sidecars and os.path.getmtime(p) * 1000 < cutoff:
                 orphans.append(p)
     if not dry_run:
         for p in orphans:

@@ -234,9 +234,12 @@ class Table:
         return writer
 
     def attach_blooms(self, infos: list, spark: SparkSession) -> list:
-        """Merge per-file manifest blooms into freshly written files'
-        stats (one narrow column scan per bloom column; no-op unless
-        the table configures blooms)."""
+        """Merge per-file manifest bloom DESCRIPTORS into freshly
+        written files' stats (one narrow column scan per bloom column;
+        no-op unless the table configures blooms). The bitmaps
+        themselves land in ONE sidecar file per column per call under
+        ``meta/blooms/`` — the manifest stays manifest-sized and the
+        probe loads bitmaps lazily for bounds-surviving files only."""
         spec = self.meta.get("bloom")
         if not spec or not infos:
             return infos
@@ -247,8 +250,11 @@ class Table:
             blooms = bloom_mod.compute_file_blooms(
                 spark, paths, col, fpp=spec.get("fpp", 0.01)
             )
+            descriptors = bloom_mod.write_sidecar(
+                blooms, os.path.join(self._meta_dir, "blooms"), col
+            )
             for fi in infos:
-                b = blooms.get(fi.path)
+                b = descriptors.get(fi.path)
                 if b is None:
                     continue  # e.g. the column was all-null in this file
                 st = json.loads(fi.stats_json or "{}")
