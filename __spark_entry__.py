@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_scan": QP.q_incremental_scan,
         "changelog_scan": QP.q_changelog_scan,
         "metadata_count": QP.q_metadata_count,
+        "metadata_count_with_deletes": QP.q_metadata_count_with_deletes,
         "schema_evolution_scan": QP.q_schema_evolution_scan,
         "rename_evolution_scan": QP.q_rename_evolution_scan,
         "type_evolution_scan": QP.q_type_evolution_scan,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_scan": QP.INCREMENTAL_SCAN_SQL,
         "changelog_scan": QP.CHANGELOG_SCAN_SQL,
         "metadata_count": QP.METADATA_COUNT_SQL,
+        "metadata_count_with_deletes": QP.METADATA_COUNT_WITH_DELETES_SQL,
         "schema_evolution_scan": QP.SCHEMA_EVOLUTION_SCAN_SQL,
         "rename_evolution_scan": QP.RENAME_EVOLUTION_SCAN_SQL,
         "type_evolution_scan": QP.TYPE_EVOLUTION_SCAN_SQL,

@@ -15,9 +15,16 @@ At 10^12 rows a partition-aligned predicate (`ts >= day`) makes the
 scan term empty or tiny — the count is a metadata operation, which is
 the difference between an instant dashboard and a cluster-wide scan.
 
-Falls back to a plain MoR scan count whenever delete files exist
-(record_count sums would over-count deleted rows) — correct first,
-fast when the table shape allows.
+Delete handling (correct first, fast when the table shape allows):
+  * **equality deletes present** → full MoR scan count (which keys die
+    depends on row values — metadata can't know);
+  * **position deletes only** → still metadata-shaped: pos-delete
+    entries are exact (file, pos) references, so the per-file death
+    toll is a NARROW scan of the delete files alone (distinct refs
+    grouped by target file — delete-set-sized, never table-sized).
+    Metadata-decided files contribute ``record_count − refs(file)``;
+    only straddlers are scanned (MoR-resolved);
+  * no deletes → pure manifest arithmetic.
 """
 
 from __future__ import annotations
@@ -44,11 +51,13 @@ def fast_count(
     no delete files and the bounds decide every file."""
     rows = table.manifest(snapshot_id)
     data_rows = [r for r in rows if r["content"] == mf.CONTENT_DATA]
-    has_deletes = any(r["content"] != mf.CONTENT_DATA for r in rows)
+    pos_rows = [r for r in rows if r["content"] == mf.CONTENT_POS_DEL]
+    has_eq = any(r["content"] == mf.CONTENT_EQ_DEL for r in rows)
 
-    if has_deletes:
-        # MoR resolution changes per-file cardinality: metadata sums
-        # would over-count. Use the (pruned, residual-filtered) scan.
+    if has_eq:
+        # which rows an equality delete kills depends on row VALUES:
+        # metadata sums can't know. Use the (pruned, residual-filtered)
+        # MoR scan.
         df = table.scan(spark, snapshot_id=snapshot_id, filter=predicate)
         return {
             "count": df.count(),
@@ -57,9 +66,27 @@ def fast_count(
             "pruned_files": table.last_scan_pruned_files,
         }
 
+    # position deletes are exact per-file (file, pos) references: the
+    # per-file death toll comes from ONE narrow scan of the delete
+    # files (delete-set-sized), after which metadata arithmetic works
+    refs_by_file: dict[str, int] = {}
+    if pos_rows:
+        from iceberg_compaction_spark.operators.mor import FILE_COL
+
+        refs = (
+            scan_mod.read_position_deletes(spark, [r["path"] for r in pos_rows])
+            .distinct()  # the same (file, pos) may appear in several delete files
+            .groupBy(FILE_COL)
+            .count()
+        )
+        refs_by_file = {r[FILE_COL]: r["count"] for r in refs.collect()}
+
+    def _dead(r: dict) -> int:
+        return refs_by_file.get(r["path"], 0)
+
     if not predicate:
         return {
-            "count": sum(r["record_count"] for r in data_rows),
+            "count": sum(r["record_count"] - _dead(r) for r in data_rows),
             "metadata_files": len(data_rows),
             "scanned_files": 0,
             "pruned_files": 0,
@@ -78,15 +105,24 @@ def fast_count(
         if not pruning.file_may_match_any(stats, disjuncts, col_types):
             pruned += 1
         elif pruning.file_all_match(stats, disjuncts, col_types):
-            meta_count += r["record_count"]
+            # EVERY row of the file matches — including its deleted
+            # rows, so they subtract exactly
+            meta_count += r["record_count"] - _dead(r)
             meta_files += 1
         else:
             straddlers.append(r)
 
     scanned = 0
     if straddlers:
+        # MoR-resolved scan restricted to the straddling files (delete
+        # scoping inside scan() attaches only applicable delete files)
         scanned = (
-            table.read_data_rows(spark, straddlers).filter(F.expr(predicate)).count()
+            table.scan(
+                spark,
+                snapshot_id=snapshot_id,
+                paths=[r["path"] for r in straddlers],
+                filter=predicate,
+            ).count()
         )
     return {
         "count": meta_count + scanned,

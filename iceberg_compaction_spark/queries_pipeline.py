@@ -1148,6 +1148,52 @@ WHERE ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'
 """
 
 
+def q_metadata_count_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: COUNT stays metadata-shaped under POSITION deletes —
+    the per-file death toll comes from one narrow scan of the delete
+    files (delete-set-sized), so a day-aligned predicate opens ZERO
+    data files even though rows were deleted. Raises unless the
+    metadata path fired with scanned_files == 0."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.stats_agg import fast_count
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_cntdel_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        # delete every turn_idx % 5 == 2 row as POSITION deletes (the
+        # logical delete set is engine-independent: turn_idx is
+        # deterministic)
+        hits = (
+            table.scan(spark, with_hidden=True)
+            .filter("turn_idx % 5 = 2")
+            .select("_file", "_pos")
+        )
+        table.add_position_deletes(hits)
+        res = fast_count(
+            spark, table,
+            f"ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'",
+        )
+        if res["scanned_files"] != 0:
+            raise AssertionError(f"expected a 0-data-file count, got: {res}")
+        if res["metadata_files"] == 0 or res["pruned_files"] == 0:
+            raise AssertionError(f"metadata count path ineffective: {res}")
+        return spark.createDataFrame([(res["count"],)], "cnt bigint")
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+METADATA_COUNT_WITH_DELETES_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT CAST(count(*) AS BIGINT) AS cnt FROM base
+WHERE ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'
+  AND turn_idx % 5 <> 2
+"""
+
+
 CHANGELOG_SCAN_SQL = f"""
 WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, text, _change AS _change_type FROM (

@@ -584,6 +584,10 @@ class Table:
     # Delta chains are collapsed into a fresh base every N commits so
     # resolution work and expiry materialization stay bounded.
     DELTA_CHAIN_MAX = 32
+    # Above this many live data files, scan-filter pruning runs
+    # executor-side over files_df (plans/pruning_df) instead of the
+    # driver Python loop — same evaluator, distributed decode.
+    PRUNE_DF_THRESHOLD = 4096
 
     @staticmethod
     def _cache_put(key: str, rows: list[dict]) -> None:
@@ -1307,9 +1311,26 @@ class Table:
         if filter and data_rows:
             from iceberg_compaction_spark.plans import pruning
 
-            data_rows, pruned = pruning.prune_files(
-                data_rows, filter, col_types=self.column_type_categories()
-            )
+            if len(data_rows) > Table.PRUNE_DF_THRESHOLD and paths is None:
+                # large manifest: evaluate the same pruner executor-side
+                # over files_df and pull back surviving paths only — the
+                # driver never JSON-decodes per-file stats
+                from iceberg_compaction_spark.plans.pruning_df import prune_files_df
+
+                fdf = self.files_df(spark, snapshot_id).filter(
+                    F.col("content") == mf.CONTENT_DATA
+                )
+                survivors = prune_files_df(
+                    fdf, filter, col_types=self.column_type_categories()
+                )
+                keep = {r["path"] for r in survivors.select("path").collect()}
+                pruned = len(data_rows) - len(keep)
+                data_rows = [r for r in data_rows if r["path"] in keep]
+                METRICS.inc("scan.prune_df_path")
+            else:
+                data_rows, pruned = pruning.prune_files(
+                    data_rows, filter, col_types=self.column_type_categories()
+                )
             self.last_scan_pruned_files = pruned
             METRICS.inc("scan.files_pruned", pruned)
         METRICS.inc("scan.files_scanned", len(data_rows))
