@@ -267,11 +267,88 @@ def minhash_lsh_dedup(
 
 # ----------------------------------------------------------------------
 # transitive closure: connected components over a similarity graph
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    each round, large-star hangs every strictly-larger neighbor of a
+    node onto the minimum of its closed neighborhood, then small-star
+    does the same for the smaller-or-equal neighbors. Path lengths
+    shrink geometrically ⇒ O(log n) rounds even on a degenerate
+    10⁴-long chain, where min-label propagation would need
+    diameter-many rounds. Converges when the edge set reaches its
+    star-graph fixpoint (every edge = (node, component-min)).
+    """
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # localCheckpoint (not cache): TRUNCATES the logical plan, so
+        # the per-round plan tree stays O(1) — a cached 15-round loop
+        # otherwise accretes a plan deep enough to OOM codegen
+        .localCheckpoint()
+    )
+    n_e = e.count()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: emit (v, m) for every neighbor v > u, m = min(Γ⁺(u))
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("_mn"))
+        mins = mins.select("a", F.least("_mn", F.col("a")).alias("_m"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .distinct()
+        )
+        # small-star over (u > v)-oriented edges: hang u and all its
+        # smaller neighbors onto the minimum of the group
+        o = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins2 = o.groupBy("u").agg(F.min("v").alias("_m"))
+        small = (
+            o.join(mins2, "u")
+            .filter(F.col("v") != F.col("_m"))
+            .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+            .unionByName(mins2.select(F.col("u").alias("a"), F.col("_m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_small = small.count()
+        same = n_small == n_e and small.subtract(e).isEmpty()
+        e, n_e = small, n_small
+        if same:
+            break
+    from iceberg_compaction_spark.metrics import GLOBAL as _METRICS
+
+    _METRICS.inc("cc.star_rounds", rounds)
+    # fixpoint edges ARE (node, component-min) stars; roots and
+    # isolated nodes label themselves
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    star_after: int = 4,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable via
     ``edges`` (undirected). Min-label propagation to fixpoint: each
@@ -281,6 +358,12 @@ def connected_components(
     handful of shuffle-join rounds on the EDGE set, never an all-pairs
     computation. Each round materializes (cache + count) to cut the
     lineage and test convergence.
+
+    ``star_after``: rounds of label propagation after which a
+    still-unconverged graph is handed to the alternating
+    large-star/small-star algorithm (``connected_components_star``,
+    O(log n) rounds) — deep chains and high-diameter graphs converge
+    there instead of grinding out diameter-many propagation rounds.
 
     Turns one-level single-linkage dedup into true cluster dedup:
     A~B, B~C ⇒ {A,B,C} share one component even when A≁C directly.
@@ -293,7 +376,14 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("component")).cache()
     labels.count()
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if it >= star_after:
+            # high-diameter graph: restart on the ORIGINAL edges with
+            # the O(log n) star algorithm (partial labels don't form a
+            # connectivity-preserving edge set — a star center's early
+            # min-label can orphan its leaves — so no state carries over)
+            labels.unpersist()
+            return connected_components_star(edges, a_col, b_col)
         # candidate labels flowing across one hop
         prop = (
             sym.join(labels, sym["src"] == labels["node"])

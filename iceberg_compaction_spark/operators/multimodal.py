@@ -2,12 +2,14 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): ``decode=\"fake\"`` produces deterministic features from the
-bytes themselves so the Spark-side plumbing — schema evolution,
-batching, partitioning, UDF signatures — is fully real and tested;
-``decode=\"real\"`` raises ``NotImplementedError`` where a PIL/ffmpeg
-call would go.
+The decode step probes for PIL AT RUNTIME: with PIL installed,
+``decode=\"real\"`` decodes ``image/*`` payloads (brightness, 8-bin
+luma histogram, real resize) with no code changes; without it (this
+container), or for media types that would need soundfile/ffmpeg, it
+raises ``NotImplementedError``. ``decode=\"fake\"`` always works:
+deterministic features from the bytes themselves, so the Spark-side
+plumbing — schema evolution, batching, partitioning, UDF signatures —
+is fully real and tested either way.
 
 Scale design: media bytes never pass through a shuffle — enrichment is
 a map-only stage over the scan (mapInPandas), feature columns are tiny
@@ -54,11 +56,44 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def _pil():
+    """Runtime import probe: PIL.Image or None. Never cached as a
+    module constant so an environment gaining PIL mid-session works."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_real(media_type: str, payload: bytes):
-    raise NotImplementedError(
-        "real decoders (PIL/soundfile/ffmpeg) are not available in this "
-        "environment; use decode='fake' for the deterministic test path"
-    )
+    """Real image decode when PIL is importable; NotImplementedError
+    otherwise (no PIL in this container) or for audio/video types
+    (would need soundfile/ffmpeg, also absent)."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "real decoders (PIL/soundfile/ffmpeg) are not available in this "
+            "environment; use decode='fake' for the deterministic test path"
+        )
+    if not str(media_type).startswith("image"):
+        raise NotImplementedError(
+            f"no real decoder for {media_type}: only image/* is supported "
+            "(audio/video would need soundfile/ffmpeg)"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))
+
+
+def _features_real(media_type: str, payload: bytes) -> tuple[float, list[int]]:
+    """(brightness, 8-bin luma histogram) from a REAL image decode."""
+    img = _decode_real(media_type, payload)
+    gray = np.asarray(img.convert("L"), dtype=np.uint8)
+    return float(gray.mean()), np.bincount(
+        (gray >> 5).ravel(), minlength=8
+    ).astype("int32").tolist()
 
 
 def extract_features(
@@ -73,6 +108,8 @@ def extract_features(
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     use_real = decode == "real"
+    if use_real and _pil() is None:
+        _decode_real("image/*", b"")  # fail fast driver-side, clean message
     stride = max(1, frame_stride)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -80,22 +117,28 @@ def extract_features(
             n = len(pdf)
             if n == 0:
                 continue
-            if use_real:
-                _decode_real(pdf["media_type"].iloc[0], b"")
             payloads = pdf["media"].tolist()
             lens = np.array([len(p) for p in payloads], dtype=np.int64)
             sha1 = [hashlib.sha1(p).hexdigest() for p in payloads]
-            bright = np.array(
-                [float(np.frombuffer(p, dtype=np.uint8).mean()) if len(p) else 0.0 for p in payloads]
-            )
-            hists = [
-                np.bincount(np.frombuffer(p, dtype=np.uint8) >> 5, minlength=8).astype(
-                    "int32"
-                ).tolist()
-                if len(p)
-                else [0] * 8
-                for p in payloads
-            ]
+            if use_real:
+                real = [
+                    _features_real(mt, p)
+                    for mt, p in zip(pdf["media_type"], payloads)
+                ]
+                bright = np.array([r[0] for r in real])
+                hists = [r[1] for r in real]
+            else:
+                bright = np.array(
+                    [float(np.frombuffer(p, dtype=np.uint8).mean()) if len(p) else 0.0 for p in payloads]
+                )
+                hists = [
+                    np.bincount(np.frombuffer(p, dtype=np.uint8) >> 5, minlength=8).astype(
+                        "int32"
+                    ).tolist()
+                    if len(p)
+                    else [0] * 8
+                    for p in payloads
+                ]
             frames = np.where(
                 pdf["media_type"].str.startswith("video").to_numpy(),
                 np.maximum(pdf["media_ms"].to_numpy() // (33 * stride), 1),
@@ -119,26 +162,39 @@ def extract_features(
 def resize(media_df: DataFrame, w: int, h: int, decode: str = "fake") -> DataFrame:
     """Resize as a map-only ``mapInPandas`` stage with the full
     bytes-in/bytes-out shape a real PIL resize would have. The pixel
-    transform is behind the decode stub: ``fake`` produces a
+    transform is behind the decode probe: ``fake`` produces a
     deterministic w×h-byte surrogate (payload tiled/truncated — sized
-    and batched exactly like real output), ``real`` raises where the
-    PIL call would go. Binary columns never shuffle; the output schema
-    equals the input schema with updated dims."""
-    if decode == "real":
-        _decode_real("image/*", b"")
+    and batched exactly like real output); ``real`` does a genuine
+    PIL decode→resize→PNG-encode when PIL is importable and raises
+    NotImplementedError otherwise. Binary columns never shuffle; the
+    output schema equals the input schema with updated dims."""
+    use_real = decode == "real"
+    if use_real and _pil() is None:
+        _decode_real("image/*", b"")  # raises the canonical message
     target = max(1, w * h)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out = pdf.copy()
-            out["media"] = [
-                bytes((np.frombuffer(p, dtype=np.uint8) if len(p) else np.zeros(1, np.uint8))[
-                    np.arange(target) % max(len(p), 1)
-                ])
-                for p in pdf["media"]
-            ]
+            if use_real:
+                resized = []
+                for mt, p in zip(pdf["media_type"], pdf["media"]):
+                    img = _decode_real(mt, p).resize((w, h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    resized.append(buf.getvalue())
+                out["media"] = resized
+            else:
+                out["media"] = [
+                    bytes((np.frombuffer(p, dtype=np.uint8) if len(p) else np.zeros(1, np.uint8))[
+                        np.arange(target) % max(len(p), 1)
+                    ])
+                    for p in pdf["media"]
+                ]
             out["media_w"] = np.int32(w)
             out["media_h"] = np.int32(h)
             yield out

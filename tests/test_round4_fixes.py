@@ -207,3 +207,109 @@ def test_jaccard_cap_is_opt_in():
 
     for fn in (ngram_jaccard_pairs, ngram_jaccard_dedup):
         assert inspect.signature(fn).parameters["max_shingle_df"].default is None
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #7: large-star/small-star fallback for high-diameter graphs
+def test_connected_components_deep_chain_uses_star(spark):
+    from iceberg_compaction_spark.metrics import GLOBAL as METRICS
+    from iceberg_compaction_spark.operators.dedup import connected_components
+
+    n = 256  # a chain this deep would need 256 label-propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    before = METRICS.get("cc.star_rounds")
+    labels = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    rounds = METRICS.get("cc.star_rounds") - before
+    assert labels == {i: 0 for i in range(n + 1)}
+    assert 0 < rounds < 10, rounds  # O(log n), not O(diameter)
+
+
+def test_connected_components_star_matches_union_find(spark):
+    import random
+
+    from iceberg_compaction_spark.operators.dedup import connected_components_star
+
+    def uf(edges, nodes):
+        parent = {x: x for x in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in nodes}
+
+    rng = random.Random(5)
+    for trial in range(3):
+        es = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+        es = [e for e in es if e[0] != e[1]]
+        nodes = sorted({x for e in es for x in e})
+        df = spark.createDataFrame(es, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == uf(es, nodes), trial
+
+
+def test_connected_components_shallow_stays_on_label_prop(spark):
+    from iceberg_compaction_spark.metrics import GLOBAL as METRICS
+    from iceberg_compaction_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    before = METRICS.get("cc.star_rounds")
+    labels = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert METRICS.get("cc.star_rounds") == before  # never switched
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #8: real multimodal decode behind a runtime import probe
+def test_real_decode_guard_without_pil(spark):
+    from iceberg_compaction_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id bigint, text string")
+    media = mm.attach_fake_media(docs)
+    if mm._pil() is None:
+        # this container: clean driver-side NotImplementedError, fake path fine
+        with pytest.raises(NotImplementedError):
+            mm.extract_features(media, decode="real")
+        with pytest.raises(NotImplementedError):
+            mm.resize(media, 8, 8, decode="real")
+        assert mm.extract_features(media, decode="fake").count() == 1
+    else:  # pragma: no cover - container has no PIL
+        pytest.skip("PIL present: covered by test_real_decode_with_pil")
+
+
+def test_real_decode_with_pil(spark):
+    """Runs only where PIL exists: decode='real' must work with NO code
+    changes (the round-4 guard)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from iceberg_compaction_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=200).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", 4, 4, 0)],
+        "doc_id bigint, media binary, media_type string, media_w int,"
+        " media_h int, media_ms int",
+    )
+    feats = mm.extract_features(df, decode="real").collect()
+    assert len(feats) == 1 and abs(feats[0]["brightness"] - 200.0) < 1e-6
+    out = mm.resize(df, 8, 8, decode="real").collect()[0]
+    img = Image.open(io.BytesIO(bytes(out["media"])))
+    assert img.size == (8, 8)
