@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_scan": QP.q_changelog_scan,
         "metadata_count": QP.q_metadata_count,
         "metadata_count_with_deletes": QP.q_metadata_count_with_deletes,
+        "minmax_pushdown": QP.q_minmax_pushdown,
+        "update_where_roundtrip": QP.q_update_where_roundtrip,
         "schema_evolution_scan": QP.q_schema_evolution_scan,
         "rename_evolution_scan": QP.q_rename_evolution_scan,
         "type_evolution_scan": QP.q_type_evolution_scan,
@@ -120,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "changelog_scan": QP.CHANGELOG_SCAN_SQL,
         "metadata_count": QP.METADATA_COUNT_SQL,
         "metadata_count_with_deletes": QP.METADATA_COUNT_WITH_DELETES_SQL,
+        "minmax_pushdown": QP.MINMAX_PUSHDOWN_SQL,
+        "update_where_roundtrip": QP.UPDATE_WHERE_ROUNDTRIP_SQL,
         "schema_evolution_scan": QP.SCHEMA_EVOLUTION_SCAN_SQL,
         "rename_evolution_scan": QP.RENAME_EVOLUTION_SCAN_SQL,
         "type_evolution_scan": QP.TYPE_EVOLUTION_SCAN_SQL,

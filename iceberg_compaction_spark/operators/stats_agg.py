@@ -40,6 +40,74 @@ from iceberg_compaction_spark.sources import scan as scan_mod
 from iceberg_compaction_spark.sources.table import Table
 
 
+def fast_min_max(
+    spark: SparkSession,
+    table: Table,
+    column: str,
+    snapshot_id: int | None = None,
+) -> dict:
+    """MIN/MAX aggregate pushdown into the manifest → {"min": …,
+    "max": …, "metadata_files": a, "scanned_files": b}.
+
+    Metadata-only when: no delete files exist (a delete could remove
+    the extreme row), every data file carries known bounds for the
+    column with a known null count, and the column's type category is
+    numeric or timestamp/date — parquet STRING statistics may be
+    truncated bounds rather than actual values, so strings always take
+    the scan path (correct-first). Falls back to a one-column MoR scan
+    aggregate otherwise."""
+    rows = table.manifest(snapshot_id)
+    data_rows = [r for r in rows if r["content"] == mf.CONTENT_DATA]
+    has_deletes = any(r["content"] != mf.CONTENT_DATA for r in rows)
+    cat = table.column_type_categories().get(column)
+
+    decided = not has_deletes and cat in ("num", "ts") and bool(data_rows)
+    mins: list = []
+    maxs: list = []
+    if decided:
+        for r in data_rows:
+            try:
+                st = json.loads(r.get("stats_json") or "{}").get(column)
+            except ValueError:
+                st = None
+            if (
+                not st
+                or st.get("nulls") is None
+                or (st.get("min") is None and st["nulls"] < r["record_count"])
+            ):
+                decided = False  # unknown bounds with non-null rows present
+                break
+            if st.get("min") is not None:
+                mins.append(st["min"])
+                maxs.append(st["max"])
+    if decided and mins:
+        return {
+            "min": min(mins),
+            "max": max(maxs),
+            "metadata_files": len(data_rows),
+            "scanned_files": 0,
+        }
+    if decided and not mins:  # every row is NULL
+        return {
+            "min": None,
+            "max": None,
+            "metadata_files": len(data_rows),
+            "scanned_files": 0,
+        }
+
+    row = (
+        table.scan(spark, snapshot_id=snapshot_id, columns=[column])
+        .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))
+        .collect()[0]
+    )
+    return {
+        "min": row["mn"],
+        "max": row["mx"],
+        "metadata_files": 0,
+        "scanned_files": len(data_rows),
+    }
+
+
 def fast_count(
     spark: SparkSession,
     table: Table,

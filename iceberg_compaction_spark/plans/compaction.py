@@ -192,13 +192,28 @@ class CompactionRunner:
             )
         # skip single-file bins with no deletes to resolve: rewriting
         # one file into one file is pure churn (reference leaves these
-        # out via strategy thresholds)
+        # out via strategy thresholds). Round 4: "deletes to resolve"
+        # is judged PER BIN via delete scoping — a one-partition MERGE
+        # no longer drags every other partition's single-file bins into
+        # the rewrite.
+        from iceberg_compaction_spark.plans import delete_scope
+
         man = self.table.manifest(snapshot_id)
-        has_deletes = any(r["content"] != mf.CONTENT_DATA for r in man)
+        pos_all = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
+        eq_all = [r for r in man if r["content"] == mf.CONTENT_EQ_DEL]
+        by_path = {r["path"]: r for r in man if r["content"] == mf.CONTENT_DATA}
+
+        def bin_has_deletes(b: BinPlan) -> bool:
+            if not (pos_all or eq_all):
+                return False
+            data = [by_path[p] for p in b.paths if p in by_path]
+            pos, eq = delete_scope.scope_deletes(data, pos_all, eq_all)
+            return bool(pos or eq)
+
         out = [
             b
             for b in sorted(bins.values(), key=lambda x: x.bin)
-            if len(b.paths) > 1 or has_deletes
+            if len(b.paths) > 1 or bin_has_deletes(b)
         ]
         return out
 

@@ -1194,6 +1194,96 @@ WHERE ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'
 """
 
 
+def q_update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: row-level UPDATE ... SET ... WHERE, merge-on-read —
+    matching rows die as position-delete tombstones, their updated
+    images land in new files, one atomic commit; untouched rows are
+    never rewritten. Scan-after must equal the SQL CASE projection."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.update_where import update_where
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_upd_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        n_before = table.scan(spark).count()
+        res = update_where(
+            spark, table,
+            "turn_idx % 7 = 2",
+            {"text": "concat(text, '~upd')", "tool": "'edited'"},
+        )
+        if res["updated_rows"] == 0:
+            raise AssertionError("update matched nothing")
+        out = table.scan(spark)
+        if out.count() != n_before:
+            raise AssertionError("UPDATE changed the row count")
+        # materialize outside the (about-to-vanish) warehouse
+        result_dir = os.path.join(tdir, "result")
+        out.select("conv_id", "turn_idx", "role", "text", "tool").write.parquet(
+            result_dir
+        )
+        return spark.read.parquet(result_dir).orderBy("conv_id", "turn_idx")
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+UPDATE_WHERE_ROUNDTRIP_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 7 = 2 THEN text || '~upd' ELSE text END AS text,
+       CASE WHEN turn_idx % 7 = 2 THEN 'edited' ELSE tool END AS tool
+FROM base
+ORDER BY conv_id, turn_idx
+"""
+
+
+def q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: MIN/MAX aggregate pushdown — answered from manifest
+    bounds with ZERO data files opened (numeric + timestamp columns;
+    strings always scan because parquet string stats may be truncated).
+    Self-gates on scanned_files == 0."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.stats_agg import fast_min_max
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_mm_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        r_ts = fast_min_max(spark, table, "ts")
+        r_ti = fast_min_max(spark, table, "turn_idx")
+        if r_ts["scanned_files"] != 0 or r_ti["scanned_files"] != 0:
+            raise AssertionError(f"min/max pushdown ineffective: {r_ts} {r_ti}")
+        # manifest ts bounds are isoformat strings: normalize to epoch
+        # seconds so Spark and DuckDB hash identically
+        return spark.createDataFrame(
+            [(str(r_ts["min"]), str(r_ts["max"]), int(r_ti["min"]), int(r_ti["max"]))],
+            "min_ts string, max_ts string, min_turn bigint, max_turn bigint",
+        ).select(
+            F.unix_timestamp(F.to_timestamp("min_ts")).alias("min_ts_epoch"),
+            F.unix_timestamp(F.to_timestamp("max_ts")).alias("max_ts_epoch"),
+            "min_turn",
+            "max_turn",
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+MINMAX_PUSHDOWN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch,
+       CAST(min(turn_idx) AS BIGINT) AS min_turn,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn
+FROM base
+"""
+
+
 CHANGELOG_SCAN_SQL = f"""
 WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, text, _change AS _change_type FROM (
