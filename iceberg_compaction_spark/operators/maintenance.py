@@ -271,7 +271,10 @@ def recommend_compaction(table: Table, config=None) -> dict:
     small = sum(1 for r in data if r["size_bytes"] <= config.small_file_threshold_bytes)
     frag = small / len(data)
     delr = len(deletes) / len(data)
-    if delr >= 0.3 or frag >= 0.8:
+    # frag-based triggers need ≥2 small files: a lone small file has
+    # nothing to merge with — rewriting it is churn, and a maintenance
+    # loop would re-trigger forever on its own output
+    if delr >= 0.3 or (frag >= 0.8 and small >= 2):
         action, strategy = "full", SelectionStrategy.FULL
     elif delr > 0:
         action, strategy = "major", SelectionStrategy.FILES_WITH_DELETES
@@ -287,6 +290,64 @@ def recommend_compaction(table: Table, config=None) -> dict:
         "small_files": small,
         "data_files": len(data),
     }
+
+
+def run_maintenance(
+    spark: SparkSession,
+    table: Table,
+    config=None,
+    expire_older_than_ms: int | None = None,
+    retain_last: int = 3,
+    orphan_older_than_ms: int | None = None,
+    rewrite_manifests_over_depth: int = 8,
+) -> dict:
+    """One-call maintenance pass, the reference maintainer-catalog
+    loop (``LEARNING_AND_ARCHITECTURE.md:147-179``) as a single
+    orchestrator: threshold-scored compaction → dangling-delete
+    cleanup → snapshot expiry (ref-chain safe) → orphan sweep →
+    manifest-chain collapse when the delta chain is deep. Every step
+    is the already-tested primitive; this is the cron-job entry point
+    a table owner schedules. Returns a per-step summary dict."""
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    import dataclasses
+
+    out: dict = {}
+    rec = recommend_compaction(table, config)
+    out["recommendation"] = rec
+    if rec["action"] != "none":
+        cfg = config or CompactionConfig()
+        # table-aware sort default: keep configured sort keys that
+        # exist on THIS table, else sort by the first user column (the
+        # stock default names transcript columns)
+        cols = table.user_columns()
+        sort = tuple((c, d) for c, d in cfg.sort_order if c in cols) or (
+            (cols[0], False),
+        )
+        cfg = dataclasses.replace(cfg, selection=rec["strategy"], sort_order=sort)
+        res = CompactionRunner(spark, table, cfg).execute()
+        out["compaction"] = res.summary()
+
+    before = table.current_snapshot_id
+    after = clean_dangling_deletes(spark, table)
+    out["dangling_deletes_commit"] = after if after != before else None
+
+    exp = expire_snapshots(
+        table, older_than_ms=expire_older_than_ms, retain_last=retain_last
+    )
+    out["expired_snapshots"] = len(exp.expired_snapshot_ids)
+    out["expired_bytes"] = exp.deleted_bytes
+
+    orphans = clean_orphan_files(table, older_than_ms=orphan_older_than_ms)
+    out["orphans_removed"] = len(orphans)
+
+    sid = table.current_snapshot_id
+    if sid is not None:
+        depth = table.snapshot(sid).get("delta_depth", 0)
+        if depth > rewrite_manifests_over_depth:
+            out["manifests_rewritten_at"] = rewrite_manifests(table)
+    return out
 
 
 def rewrite_manifests(table: Table) -> int:

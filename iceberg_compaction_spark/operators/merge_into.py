@@ -89,6 +89,7 @@ def merge_into(
     precedence: str | None = None,
     delete_matched_only: bool = False,
     scope_deletes: bool = True,
+    extra_summary: dict | None = None,
 ) -> int:
     """Upsert ``source`` into ``table`` keyed by ``keys``. Returns the
     new snapshot id. One commit carries both the equality-delete file
@@ -126,7 +127,11 @@ def merge_into(
     # 2. new data files for the source rows (skipped for pure deletes)
     infos_data = [] if delete_matched_only else table.write_data_files(src)
 
-    return table.commit("merge", added=list(infos_del) + list(infos_data))
+    return table.commit(
+        "merge",
+        added=list(infos_del) + list(infos_data),
+        extra_summary=extra_summary,
+    )
 
 
 def table_write_eq_delete(table: Table, keys_df: DataFrame, keys: Sequence[str]):

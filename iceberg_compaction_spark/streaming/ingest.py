@@ -78,6 +78,64 @@ def stream_append(stream_df: DataFrame, table: Table, checkpoint_dir: str, trigg
     return writer.start()
 
 
+def stream_upsert(
+    stream_df: DataFrame,
+    table: Table,
+    keys,
+    checkpoint_dir: str,
+    precedence: str | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming MERGE sink: every micro-batch upserts into the table
+    via ``merge_into`` (equality-delete + new data files, ONE atomic
+    commit per batch), keyed dedup inside the batch via ``precedence``.
+    Exactly-once by the same (stream_key, batch_id) snapshot-summary
+    guard as ``stream_append`` — a replayed batch after a failure
+    between commit and checkpoint is skipped, so an upsert never
+    double-applies. This is the CDC-consumer shape: readStream a
+    changelog, stream_upsert it into a serving table."""
+    import hashlib
+    import os
+
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    stream_key = hashlib.md5(
+        (os.path.abspath(checkpoint_dir) + "|upsert").encode()
+    ).hexdigest()[:12]
+
+    def _last_committed() -> int:
+        last = -1
+        for s in table.snapshots():
+            sm = s.get("summary", {})
+            if sm.get("stream_key") == stream_key:
+                last = max(last, int(sm.get("stream_batch_id", -1)))
+        return last
+
+    state = {"last": _last_committed()}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last"]:
+            return
+        if batch_df.isEmpty():
+            return
+        merge_into(
+            table,
+            batch_df,
+            list(keys),
+            precedence=precedence,
+            extra_summary={"stream_key": stream_key, "stream_batch_id": int(batch_id)},
+        )
+        state["last"] = batch_id
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def compact_if_needed(spark, table: Table, config=None, min_small_files: int = 8) -> bool:
     """Incremental-compaction trigger: run a compaction only when the
     current snapshot holds at least ``min_small_files`` files under the
