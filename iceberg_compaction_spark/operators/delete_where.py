@@ -29,7 +29,9 @@ from iceberg_compaction_spark.sources import scan as scan_mod
 from iceberg_compaction_spark.sources.table import Table
 
 
-def delete_where(spark: SparkSession, table: Table, predicate: str) -> dict:
+def delete_where(
+    spark: SparkSession, table: Table, predicate: str, mode: str = "mor"
+) -> dict:
     """Delete all rows matching ``predicate`` in one atomic commit.
     Returns {"dropped_files": n, "deleted_rows": m, "snapshot_id": sid}.
 
@@ -38,7 +40,20 @@ def delete_where(spark: SparkSession, table: Table, predicate: str) -> dict:
     bounds, type-mismatched literals, big-int precision, or any
     conjunct the parser couldn't model all force the file onto the
     row-scanned straddling path (the may-match convention that is
-    conservative for pruning would be anti-conservative here)."""
+    conservative for pruning would be anti-conservative here).
+
+    ``mode`` (Iceberg's write.delete.mode):
+      * ``"mor"`` (default) — straddling files get position-delete
+        tombstones; cheap writes, deletes resolve at read time until
+        compaction folds them in;
+      * ``"cow"`` — straddling files are REWRITTEN without the
+        matching rows and replaced in the same commit; no delete files
+        exist afterwards, reads pay nothing. Write amplification =
+        the straddler bytes (whole-file metadata drops still apply
+        first, so a partition-aligned delete rewrites nothing either
+        way)."""
+    if mode not in ("mor", "cow"):
+        raise ValueError("mode must be 'mor' or 'cow'")
     disjuncts = pruning.parse_predicate(predicate)
     col_types = table.column_type_categories()
     data_rows = table.files(content=mf.CONTENT_DATA)
@@ -58,23 +73,46 @@ def delete_where(spark: SparkSession, table: Table, predicate: str) -> dict:
             candidates.append(r)
 
     added: list[mf.FileInfo] = []
+    removed: list[str] = list(full_drop)
     deleted_rows = 0
     if candidates:
-        df = table.read_data_rows(spark, candidates, with_file=True, with_pos=True)
-        hits = df.filter(F.expr(predicate)).select(FILE_COL, POS_COL)
-        added = table.write_delete_files(hits, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL)
-        deleted_rows = sum(fi.record_count for fi in added)
-        if deleted_rows == 0:
-            added = []  # nothing matched: don't commit an empty delete file
+        if mode == "cow":
+            # rewrite straddlers WITHOUT the matching rows; replace the
+            # originals in the same commit. MoR-resolved scan so rows an
+            # EXISTING delete already killed never resurrect in the
+            # rewrite (and the rewrite folds those tombstones in, like
+            # compaction). NULL-predicate rows survive (SQL DELETE
+            # semantics), hence the coalesce.
+            scanned = table.scan(
+                spark, paths=[r["path"] for r in candidates]
+            ).persist()
+            try:
+                matched = scanned.filter(F.expr(predicate)).count()
+                if matched > 0:
+                    survivors = scanned.filter(
+                        ~F.coalesce(F.expr(predicate), F.lit(False))
+                    )
+                    added = table.write_data_files(survivors)
+                    removed += [r["path"] for r in candidates]
+                    deleted_rows = matched
+            finally:
+                scanned.unpersist()
+        else:
+            df = table.read_data_rows(spark, candidates, with_file=True, with_pos=True)
+            hits = df.filter(F.expr(predicate)).select(FILE_COL, POS_COL)
+            added = table.write_delete_files(hits, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL)
+            deleted_rows = sum(fi.record_count for fi in added)
+            if deleted_rows == 0:
+                added = []  # nothing matched: don't commit an empty delete file
     deleted_rows += sum(r["record_count"] for r in data_rows if r["path"] in set(full_drop))
 
-    if not full_drop and not added:
+    if not removed and not added:
         return {
             "dropped_files": 0,
             "deleted_rows": 0,
             "snapshot_id": table.current_snapshot_id,
         }
-    sid = table.commit("delete", added=added, removed_paths=full_drop)
+    sid = table.commit("delete", added=added, removed_paths=removed)
     return {
         "dropped_files": len(full_drop),
         "deleted_rows": deleted_rows,

@@ -37,15 +37,25 @@ def update_where(
     table: Table,
     predicate: str,
     assignments: Mapping[str, str],
+    mode: str = "mor",
 ) -> dict:
     """UPDATE rows matching ``predicate``: ``assignments`` maps column
     name → SQL expression evaluated against the OLD row (standard SQL
     UPDATE semantics — all right-hand sides see pre-update values).
     Returns {"updated_rows": n, "snapshot_id": sid}.
 
+    ``mode`` (Iceberg's write.update.mode): ``"mor"`` (default) writes
+    position-delete tombstones + new images only for MATCHED rows;
+    ``"cow"`` rewrites every may-match file whole (matched rows
+    transformed, the rest copied, existing tombstones folded in like
+    compaction) and replaces them in the same commit — no delete files
+    afterwards, at straddler-bytes write amplification.
+
     The partition column is recomputed for updated rows when the
     table is partitioned (an UPDATE that moves ``ts`` moves the row's
     partition, like Iceberg's hidden partitioning would)."""
+    if mode not in ("mor", "cow"):
+        raise ValueError("mode must be 'mor' or 'cow'")
     user_cols = table.user_columns()
     part = table.meta.get("partition")
     for col in assignments:
@@ -75,6 +85,38 @@ def update_where(
     if not candidates:
         return {"updated_rows": 0, "snapshot_id": table.current_snapshot_id}
 
+    raw_exprs = [
+        F.expr(assignments[c]) if c in assignments else F.col(c) for c in user_cols
+    ]
+    apply_exprs = [e.alias(c) for c, e in zip(user_cols, raw_exprs)]
+
+    if mode == "cow":
+        # rewrite the may-match files whole: transformed images for
+        # matched rows, verbatim copies otherwise (NULL predicate =
+        # not matched), existing tombstones folded in by the MoR scan
+        scanned = table.scan(spark, paths=candidates).persist()
+        try:
+            n_updated = scanned.filter(F.expr(predicate)).count()
+            if n_updated == 0:
+                return {"updated_rows": 0, "snapshot_id": table.current_snapshot_id}
+            hit = F.coalesce(F.expr(predicate), F.lit(False))
+            rewritten = scanned.select(
+                *[
+                    F.when(hit, e).otherwise(F.col(c)).alias(c)
+                    for c, e in zip(user_cols, raw_exprs)
+                ]
+            )
+            infos = table.write_data_files(rewritten)
+        finally:
+            scanned.unpersist()
+        sid = table.commit(
+            "update",
+            added=infos,
+            removed_paths=sorted(candidates),
+            extra_summary={"updated_rows": n_updated},
+        )
+        return {"updated_rows": n_updated, "snapshot_id": sid}
+
     # MoR-resolved matching rows with their physical addresses (scan
     # applies existing deletes, so an already-deleted row never
     # resurrects as an updated copy)
@@ -84,12 +126,7 @@ def update_where(
         .persist()  # one execution feeds the tombstones AND the images
     )
     try:
-        updated = matched.select(
-            *[
-                F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
-                for c in user_cols
-            ]
-        )
+        updated = matched.select(*apply_exprs)
         infos_data = table.write_data_files(updated)
         n_updated = sum(fi.record_count for fi in infos_data)
         if n_updated == 0:

@@ -101,3 +101,64 @@ def test_fast_min_max_paths(spark, tmp_warehouse):
     assert r3["metadata_files"] == 0
     truth = t.scan(spark).agg(F.max("ts")).collect()[0][0]
     assert r3["max"] == truth
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write modes: same logical result, zero delete files
+def test_delete_where_cow_mode(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+
+    t = _mk(spark, os.path.join(tmp_warehouse, "delcow"))
+    # pre-existing tombstones must NOT resurrect through the rewrite
+    hits = (
+        t.scan(spark, with_hidden=True).filter("conv_id % 100 = 7")
+        .select("_file", "_pos")
+    )
+    t.add_position_deletes(hits)
+    n_live = t.scan(spark).count()
+    res = delete_where(spark, t, "score >= 95", mode="cow")
+    assert res["deleted_rows"] == t_expected_deleted(n_live)
+    out = t.scan(spark)
+    assert out.filter("score >= 95").count() == 0
+    assert out.filter("conv_id % 100 = 7").count() == 0  # stayed dead
+    assert out.count() == n_live - res["deleted_rows"]
+    # cow leaves NO new delete files; the folded-in pos deletes may
+    # remain attached to untouched files only
+    assert t.snapshot(t.current_snapshot_id)["operation"] == "delete"
+
+
+def t_expected_deleted(n_live):
+    # scores 95..99 over conv_id 0..1999 (id%100), minus the 20 rows
+    # with conv_id%100==7 already dead (7 is not in 95..99, so none)
+    return 5 * 20
+
+
+def test_update_where_cow_mode(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.update_where import update_where
+
+    t = _mk(spark, os.path.join(tmp_warehouse, "updcow"))
+    res = update_where(
+        spark, t, "score >= 90", {"v": "concat(v, '!')", "score": "score + 1000"},
+        mode="cow",
+    )
+    assert res["updated_rows"] == 200
+    out = t.scan(spark)
+    assert out.count() == 2000
+    assert out.filter("score >= 1090").count() == 200
+    assert out.filter("score < 90 AND v LIKE '%!'").count() == 0
+    # cow: zero delete files exist
+    assert not t.files(content=mf.CONTENT_POS_DEL)
+    assert not t.files(content=mf.CONTENT_EQ_DEL)
+
+
+def test_cow_and_mor_agree(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.update_where import update_where
+
+    t1 = _mk(spark, os.path.join(tmp_warehouse, "agree1"))
+    t2 = _mk(spark, os.path.join(tmp_warehouse, "agree2"))
+    args = ("score % 10 = 3", {"v": "upper(v)"})
+    update_where(spark, t1, *args, mode="mor")
+    update_where(spark, t2, *args, mode="cow")
+    a = sorted(tuple(r) for r in t1.scan(spark).collect())
+    b = sorted(tuple(r) for r in t2.scan(spark).collect())
+    assert a == b
