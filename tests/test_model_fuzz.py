@@ -196,3 +196,62 @@ def test_random_sequences_with_rollback_branches_cdc(spark, tmp_warehouse, seed)
             replayed[key] += 1
     final = Counter({(c, k, v): 1 for (c, k), v in _scan_state(spark, t).items()})
     assert replayed == final, f"seed {seed}: changelog replay diverged"
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_random_dml_modes_match_model(spark, tmp_warehouse, seed):
+    """Round-4 DML surface: UPDATE WHERE / DELETE WHERE in both MoR and
+    CoW modes interleaved with appends and compaction — dict-model-exact
+    after every step, and fast_count stays exact throughout."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.stats_agg import fast_count
+    from iceberg_compaction_spark.operators.update_where import update_where
+
+    rng = random.Random(seed)
+    t = Table.create(os.path.join(tmp_warehouse, f"fz4_{seed}"), TRANSCRIPT_DDL)
+    model: dict = {}
+    next_key = 0
+
+    def fresh_rows(n):
+        nonlocal next_key
+        out = []
+        for _ in range(n):
+            out.append((f"c{next_key % 5}", next_key, f"v{rng.randrange(10_000)}"))
+            next_key += 1
+        return out
+
+    cfg = CompactionConfig(
+        selection=SelectionStrategy.FULL,
+        group_target_size_bytes=64 << 10,
+        min_size_per_partition_bytes=64 << 10,
+    )
+    ops = ["append", "update_mor", "update_cow", "delete_mor", "delete_cow", "compact"]
+    for step in range(12):
+        op = rng.choice(ops)
+        if op == "append" or not model:
+            rows = fresh_rows(rng.randrange(5, 25))
+            t.append_dataframe(_df(spark, rows).coalesce(1))
+            model.update({(c, k): txt for c, k, txt in rows})
+        elif op.startswith("update"):
+            lo = rng.randrange(0, max(next_key, 1))
+            hi = lo + rng.randrange(1, 25)
+            update_where(
+                spark, t, f"turn_idx >= {lo} AND turn_idx < {hi}",
+                {"text": "concat(text, '+')"}, mode=op.split("_")[1],
+            )
+            model = {
+                k: (v + "+" if lo <= k[1] < hi else v) for k, v in model.items()
+            }
+        elif op.startswith("delete"):
+            lo = rng.randrange(0, max(next_key, 1))
+            hi = lo + rng.randrange(1, 20)
+            delete_where(
+                spark, t, f"turn_idx >= {lo} AND turn_idx < {hi}",
+                mode=op.split("_")[1],
+            )
+            model = {k: v for k, v in model.items() if not (lo <= k[1] < hi)}
+        else:
+            CompactionRunner(spark, t, cfg).execute()
+        assert _scan_state(spark, t) == model, f"seed {seed} step {step} ({op})"
+        fc = fast_count(spark, t)
+        assert fc["count"] == len(model), f"seed {seed} step {step} fast_count"

@@ -157,3 +157,32 @@ def test_ivf_plan_is_equi_join(spark):
     plan = ivf_topk(emb, q, k=2, n_centroids=4, nprobe=2, iters=1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scoped_scan_compiles_without_delete_joins(spark, tmp_warehouse):
+    """Round 4: a scan whose data files no delete can touch (seq/bounds
+    scoping) must compile to a plain parquet scan — ZERO anti-joins in
+    the physical plan, not just empty join inputs."""
+    from iceberg_compaction_spark.sources.table import Table
+
+    loc = os.path.join(tmp_warehouse, "pq_scope")
+    t = Table.create(loc, "conv_id bigint, v string")
+    t.append_dataframe(
+        spark.range(1000).selectExpr("id as conv_id", "'a' as v").coalesce(1)
+    )
+    t.add_equality_deletes(
+        spark.range(10).selectExpr("id as conv_id"), ["conv_id"]
+    )
+    # a file appended AFTER the delete: seq-scoped out
+    t.append_dataframe(
+        spark.range(1000).selectExpr("id as conv_id", "'b' as v").coalesce(1)
+    )
+    new_paths = [
+        r["path"] for r in t.files(content="data")
+        if r["sequence_number"] == t.sequence_number
+    ]
+    plan = _plan(t.scan(spark, paths=new_paths))
+    assert "LeftAnti" not in plan and "Join" not in plan, plan
+    # the unscoped scan still resolves the delete
+    full = _plan(t.scan(spark))
+    assert "LeftAnti" in full
