@@ -1284,6 +1284,59 @@ FROM base
 """
 
 
+def q_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: ANALYZE TABLE — per-column rows/nulls/NDV persisted to
+    table metadata and surfaced as the .column_stats metadata table
+    (exact mode here so DuckDB can verify; production uses one-pass
+    HyperLogLog)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.analyze import (
+        analyze_table,
+        column_stats_table,
+    )
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_an_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        analyze_table(
+            spark, table, ["conv_id", "turn_idx", "role", "tool"], exact=True
+        )
+        # built from table METADATA (literal rows) — no file dependency,
+        # safe to return lazily after the warehouse is removed
+        return column_stats_table(spark, table).select(
+            F.col("column").alias("col_name"),
+            F.col("rows").alias("n_rows"),
+            F.col("nulls").alias("n_nulls"),
+            F.col("ndv").alias("n_distinct"),
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ANALYZE_COLUMN_STATS_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT 'conv_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(conv_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_distinct FROM base
+UNION ALL
+SELECT 'role', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(role) AS BIGINT),
+       CAST(count(DISTINCT role) AS BIGINT) FROM base
+UNION ALL
+SELECT 'tool', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(tool) AS BIGINT),
+       CAST(count(DISTINCT tool) AS BIGINT) FROM base
+UNION ALL
+SELECT 'turn_idx', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(turn_idx) AS BIGINT),
+       CAST(count(DISTINCT turn_idx) AS BIGINT) FROM base
+"""
+
+
 CHANGELOG_SCAN_SQL = f"""
 WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, text, _change AS _change_type FROM (

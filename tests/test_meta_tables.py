@@ -50,3 +50,51 @@ def test_metadata_tables(spark, tmp_warehouse):
     assert refs["main"] == ("branch", t.current_snapshot_id)
     assert refs["audit-point"][0] == "tag"
     assert refs["wip"] == ("branch", t.current_snapshot_id)
+
+
+def test_analyze_table_and_column_stats(spark, tmp_warehouse):
+    """Round 4: ANALYZE persists exact/HLL column stats; the
+    .column_stats metadata table surfaces them; scan answers match."""
+    import os
+
+    import pytest
+
+    from iceberg_compaction_spark.errors import ValidationError
+    from iceberg_compaction_spark.operators.analyze import (
+        analyze_table,
+        column_stats_table,
+    )
+    from iceberg_compaction_spark.sources.table import Table
+
+    loc = os.path.join(tmp_warehouse, "an")
+    t = Table.create(loc, "k bigint, v string, w string")
+    df = spark.range(1000).selectExpr(
+        "id % 77 as k",
+        "concat('v', id % 13) as v",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE 'x' END as w",
+    )
+    t.append_dataframe(df)
+    # empty before analyze
+    assert column_stats_table(spark, t).count() == 0
+    st = analyze_table(spark, t, exact=True)
+    assert st["rows"] == 1000
+    assert st["columns"]["k"] == {"nulls": 0, "ndv": 77, "min": 0, "max": 76}
+    assert st["columns"]["v"]["ndv"] == 13
+    assert st["columns"]["w"]["nulls"] == 250
+    rows = {r["column"]: r for r in column_stats_table(spark, t).collect()}
+    assert rows["k"]["ndv"] == 77 and rows["k"]["exact"] is True
+    assert rows["w"]["nulls"] == 250
+    # stats survive a reload (persisted in table.json)
+    t2 = Table.load(loc)
+    assert column_stats_table(spark, t2).count() == 3
+    # HLL mode lands within a sane band
+    st2 = analyze_table(spark, t, exact=False)
+    assert abs(st2["columns"]["k"]["ndv"] - 77) <= 8
+    with pytest.raises(ValidationError):
+        analyze_table(spark, t, ["nope"])
+    # stats respect MoR deletes (analyze after a delete sees fewer rows)
+    from pyspark.sql import functions as F
+
+    t.add_equality_deletes(spark.range(10).select(F.col("id").alias("k")), ["k"])
+    st3 = analyze_table(spark, t, ["k"], exact=True)
+    assert st3["rows"] < 1000 and st3["columns"]["k"]["ndv"] == 67
