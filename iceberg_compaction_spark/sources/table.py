@@ -566,6 +566,21 @@ class Table:
         with open(self._snap_path(sid)) as f:
             return json.load(f)
 
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """Newest snapshot committed at or before ``timestamp_ms`` on
+        the CURRENT branch's ancestry — Iceberg's ``FOR TIMESTAMP AS
+        OF``. Walks parent_ids (snapshot JSONs only) so side-branch
+        snapshots never leak into main's history."""
+        s = self.current_snapshot_id
+        while s is not None:
+            snap = self.snapshot(s)
+            if snap["timestamp_ms"] <= timestamp_ms:
+                return s
+            s = snap["parent_id"]
+        raise ValidationError(
+            f"no snapshot at or before {timestamp_ms} (table created later?)"
+        )
+
     def snapshots(self) -> list[dict]:
         out = []
         for fn in sorted(os.listdir(self._meta_dir)):
@@ -1266,6 +1281,7 @@ class Table:
         inline_delete_threshold: int = 10 << 20,
         filter: str | None = None,
         paths: Sequence[str] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-pinned MoR read: data files minus position/equality
         deletes, projected to user columns (SURVEY.md §3.4 grammar).
@@ -1297,6 +1313,10 @@ class Table:
         a correctness dependency) and still pushes into Parquet row
         groups. The count of pruned files is exposed via
         ``last_scan_pruned_files`` for plan tests."""
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValidationError("pass snapshot_id OR as_of_ms, not both")
+            snapshot_id = self.snapshot_as_of(as_of_ms)  # FOR TIMESTAMP AS OF
         rows = self.manifest(snapshot_id)
         data_rows = [r for r in rows if r["content"] == mf.CONTENT_DATA]
         pos_rows = [r for r in rows if r["content"] == mf.CONTENT_POS_DEL]
