@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_pushdown": QP.q_minmax_pushdown,
         "update_where_roundtrip": QP.q_update_where_roundtrip,
         "analyze_column_stats": QP.q_analyze_column_stats,
+        "partition_counts": QP.q_partition_counts,
         "schema_evolution_scan": QP.q_schema_evolution_scan,
         "rename_evolution_scan": QP.q_rename_evolution_scan,
         "type_evolution_scan": QP.q_type_evolution_scan,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "minmax_pushdown": QP.MINMAX_PUSHDOWN_SQL,
         "update_where_roundtrip": QP.UPDATE_WHERE_ROUNDTRIP_SQL,
         "analyze_column_stats": QP.ANALYZE_COLUMN_STATS_SQL,
+        "partition_counts": QP.PARTITION_COUNTS_SQL,
         "schema_evolution_scan": QP.SCHEMA_EVOLUTION_SCAN_SQL,
         "rename_evolution_scan": QP.RENAME_EVOLUTION_SCAN_SQL,
         "type_evolution_scan": QP.TYPE_EVOLUTION_SCAN_SQL,

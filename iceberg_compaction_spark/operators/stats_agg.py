@@ -40,6 +40,65 @@ from iceberg_compaction_spark.sources import scan as scan_mod
 from iceberg_compaction_spark.sources.table import Table
 
 
+def fast_partition_counts(
+    spark: SparkSession,
+    table: Table,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Per-partition row counts → {"counts": {partition: rows},
+    "metadata_files": a, "scanned_files": b}. Partition purity (every
+    data file holds exactly one partition value) makes this pure
+    manifest arithmetic on delete-free tables; under POSITION deletes
+    the per-file death toll comes from the narrow delete scan (same
+    trick as ``fast_count``); equality deletes force a grouped MoR
+    scan. The 'rows per day' dashboard over a 10¹²-row table becomes a
+    metadata query."""
+    rows = table.manifest(snapshot_id)
+    data_rows = [r for r in rows if r["content"] == mf.CONTENT_DATA]
+    pos_rows = [r for r in rows if r["content"] == mf.CONTENT_POS_DEL]
+    has_eq = any(r["content"] == mf.CONTENT_EQ_DEL for r in rows)
+    part = table.meta.get("partition")
+
+    if has_eq or not part:
+        # value-dependent deletes, or no partition column: grouped scan
+        field = part["field"] if part else None
+        df = table.scan(spark, snapshot_id=snapshot_id, columns=[field] if field else None)
+        if field is None:
+            return {
+                "counts": {"": df.count()},
+                "metadata_files": 0,
+                "scanned_files": len(data_rows),
+            }
+        got = df.groupBy(field).count().collect()
+        return {
+            "counts": {r[field]: r["count"] for r in got},
+            "metadata_files": 0,
+            "scanned_files": len(data_rows),
+        }
+
+    refs_by_file: dict[str, int] = {}
+    if pos_rows:
+        from iceberg_compaction_spark.operators.mor import FILE_COL
+
+        refs = (
+            scan_mod.read_position_deletes(spark, [r["path"] for r in pos_rows])
+            .distinct()
+            .groupBy(FILE_COL)
+            .count()
+        )
+        refs_by_file = {r[FILE_COL]: r["count"] for r in refs.collect()}
+
+    counts: dict[str, int] = {}
+    for r in data_rows:
+        p = r.get("partition") or ""
+        counts[p] = counts.get(p, 0) + r["record_count"] - refs_by_file.get(r["path"], 0)
+    return {
+        "counts": {p: n for p, n in counts.items() if n > 0},
+        "metadata_files": len(data_rows),
+        "scanned_files": 0,
+    }
+
+
 def fast_min_max(
     spark: SparkSession,
     table: Table,

@@ -1284,6 +1284,45 @@ FROM base
 """
 
 
+def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: per-partition row counts answered from manifest
+    metadata — ZERO data files opened even with position deletes
+    applied (death toll from the narrow delete-file scan). The
+    'rows per day' dashboard as a metadata query."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.stats_agg import fast_partition_counts
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_pc_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        hits = (
+            table.scan(spark, with_hidden=True)
+            .filter("turn_idx % 5 = 2")
+            .select("_file", "_pos")
+        )
+        table.add_position_deletes(hits)
+        res = fast_partition_counts(spark, table)
+        if res["scanned_files"] != 0 or res["metadata_files"] == 0:
+            raise AssertionError(f"partition-count pushdown ineffective: {res}")
+        return spark.createDataFrame(
+            sorted(res["counts"].items()), "part string, cnt bigint"
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+PARTITION_COUNTS_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT strftime(ts, '%Y-%m-%d') AS part, CAST(count(*) AS BIGINT) AS cnt
+FROM base WHERE turn_idx % 5 <> 2
+GROUP BY 1
+"""
+
+
 def q_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: ANALYZE TABLE — per-column rows/nulls/NDV persisted to
     table metadata and surfaced as the .column_stats metadata table

@@ -75,3 +75,69 @@ def test_eq_deletes_still_fall_back(spark, tmp_warehouse):
     res = fast_count(spark, t)
     assert res["count"] == truth == 3900
     assert res["metadata_files"] == 0  # fallback path
+
+
+def test_partition_counts_metadata_only(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.stats_agg import fast_partition_counts
+
+    t = _mk(spark, os.path.join(tmp_warehouse, "pc"))
+    hits = (
+        t.scan(spark, with_hidden=True).filter("conv_id % 10 = 3").select("_file", "_pos")
+    )
+    t.add_position_deletes(hits)
+    truth = {
+        r["_part"]: r["count"]
+        for r in t.scan(spark, columns=["_part"]).groupBy("_part").count().collect()
+    }
+    res = fast_partition_counts(spark, t)
+    assert res["counts"] == truth
+    assert res["scanned_files"] == 0 and res["metadata_files"] > 0
+    # equality deletes force the grouped scan, still exact
+    t.add_equality_deletes(
+        spark.range(100).select(F.col("id").alias("conv_id")), ["conv_id"]
+    )
+    truth2 = {
+        r["_part"]: r["count"]
+        for r in t.scan(spark, columns=["_part"]).groupBy("_part").count().collect()
+    }
+    res2 = fast_partition_counts(spark, t)
+    assert res2["counts"] == truth2
+    assert res2["metadata_files"] == 0
+
+
+def test_partition_counts_unpartitioned(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.stats_agg import fast_partition_counts
+    from iceberg_compaction_spark.sources.table import Table
+
+    t = Table.create(os.path.join(tmp_warehouse, "pcu"), "k bigint, v string")
+    t.append_dataframe(spark.range(100).selectExpr("id as k", "'x' as v"))
+    res = fast_partition_counts(spark, t)
+    assert res["counts"] == {"": 100}
+
+
+def test_concurrent_appends_all_land(spark, tmp_warehouse):
+    """Commit-lock + retry under real thread contention: N threads
+    appending concurrently all succeed, nothing lost or duplicated."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iceberg_compaction_spark.sources.table import Table
+
+    loc = os.path.join(tmp_warehouse, "conc")
+    Table.create(loc, "k bigint, tag string")
+
+    def writer(i):
+        t = Table.load(loc)  # own handle per thread, like real writers
+        for j in range(3):
+            t.append_dataframe(
+                spark.createDataFrame([(i * 10 + j, f"w{i}")], "k bigint, tag string"),
+                branch=None,
+            )
+        return True
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        assert all(ex.map(writer, range(4)))
+    t = Table.load(loc)
+    rows = t.scan(spark).collect()
+    assert len(rows) == 12
+    assert {r["k"] for r in rows} == {i * 10 + j for i in range(4) for j in range(3)}
+    assert t.current_snapshot_id == 12  # every commit landed exactly once
