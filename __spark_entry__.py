@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionization": QP.q_stream_sessionization,
         # --- training-data pipeline ---
         "exact_dedup": QP.q_exact_dedup,
+        "paragraph_dedup": QP.q_paragraph_dedup,
         "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
         "neardup_clusters": QP.q_neardup_clusters,
         "minhash_band_signatures": QP.q_minhash_band_signatures,
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "type_evolution_scan": QP.TYPE_EVOLUTION_SCAN_SQL,
         "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
         "exact_dedup": QP.EXACT_DEDUP_SQL,
+        "paragraph_dedup": QP.PARAGRAPH_DEDUP_SQL,
         "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,
         "neardup_clusters": QP.NEARDUP_CLUSTERS_SQL,
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,

@@ -42,6 +42,65 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 # ----------------------------------------------------------------------
+# paragraph-level exact dedup: sub-document granularity, the shape
+# training-data pipelines use for boilerplate removal (repeated
+# headers/footers/licenses across millions of pages) — document-level
+# dedup never catches a paragraph duplicated across distinct docs.
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove duplicate PARAGRAPHS corpus-wide, keeping each
+    paragraph's first occurrence (smallest (doc id, position)); every
+    document is reassembled from its surviving paragraphs in original
+    order. Paragraphs shorter than ``min_chars`` always survive
+    (too-short units — blank lines, bullets — would dedup meaninglessly
+    aggressively).
+
+    Plan shape: posexplode(split) → one window over md5(paragraph)
+    (hash-shuffled, uniform) → groupBy doc reassembly with
+    ``array_join(sort by position)``. Two shuffles total, both on
+    uniform keys; no joins, no candidate pairs — exact by
+    construction. Documents whose every paragraph was a duplicate come
+    back with empty text (callers drop or keep them; count preserved
+    so downstream joins don't lose rows)."""
+    other_cols = [c for c in df.columns if c != text_col]
+    parts = df.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("_pos", "_para"),
+    )
+    keep_always = F.length("_para") < min_chars
+    w = Window.partitionBy(F.md5(F.col("_para"))).orderBy(
+        F.col(id_col), F.col("_pos")
+    )
+    survivors = parts.withColumn(
+        "_rn", F.when(keep_always, F.lit(1)).otherwise(F.row_number().over(w))
+    ).filter(F.col("_rn") == 1)
+    rebuilt = (
+        survivors.groupBy(*other_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_para")))
+                    ),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )
+    # documents that lost every paragraph reappear with empty text
+    lost = df.select(*other_cols).join(
+        rebuilt.select(*other_cols), other_cols, "left_anti"
+    ).withColumn(text_col, F.lit(""))
+    return rebuilt.unionByName(lost).select(*df.columns)
+
+
+# ----------------------------------------------------------------------
 # shingling
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: normalize → split →

@@ -1284,6 +1284,47 @@ FROM base
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: corpus-wide PARAGRAPH-level exact dedup (first
+    occurrence by (doc_id, position) wins; documents reassembled in
+    order; sub-5-char units exempt) — the boilerplate-removal shape
+    document-level dedup can't express. Paragraph boundaries are
+    synthesized deterministically (literal replace) since the synthetic
+    docs are single-line."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' table ', '\n\n')").alias("text")
+    )
+    return paragraph_dedup(docs, min_chars=5).select("doc_id", "text")
+
+
+PARAGRAPH_DEDUP_SQL = """
+WITH docs AS (
+  SELECT doc_id, replace(text, ' table ', e'\n\n') AS text FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         unnest(string_split(text, e'\n\n')) AS para,
+         unnest(generate_series(1, len(string_split(text, e'\n\n')))) AS pos
+  FROM docs
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN length(para) < 5 THEN 1
+              ELSE row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos)
+         END AS rn
+  FROM parts
+)
+SELECT doc_id,
+       coalesce(
+         string_agg(para, e'\n\n' ORDER BY pos) FILTER (WHERE rn = 1), ''
+       ) AS text
+FROM ranked GROUP BY doc_id
+"""
+
+
 def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: per-partition row counts answered from manifest
     metadata — ZERO data files opened even with position deletes

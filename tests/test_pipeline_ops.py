@@ -332,3 +332,29 @@ def test_multimodal_resize_and_frame_sampling(spark, docs):
         assert len(idxs) <= 5
         assert all(r["frame_ms"] == r["frame_idx"] * 330 for r in doc_rows)
         assert all(isinstance(r["frame"], (bytes, bytearray)) and r["frame"] for r in doc_rows)
+
+
+def test_paragraph_dedup(spark):
+    from iceberg_compaction_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one\n\nSHARED LICENSE TEXT\n\nbody one"),
+            (2, "SHARED LICENSE TEXT\n\nbody two"),
+            (3, "ok\n\nbody three\n\nSHARED LICENSE TEXT"),
+            (4, "SHARED LICENSE TEXT"),  # loses everything
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs, min_chars=4).collect()}
+    assert out[1] == "intro one\n\nSHARED LICENSE TEXT\n\nbody one"  # first keeps it
+    assert out[2] == "body two"
+    assert out[3] == "ok\n\nbody three"  # 'ok' < 4 chars: exempt, survives
+    assert out[4] == ""  # all-duplicate doc kept with empty text
+    assert set(out) == {1, 2, 3, 4}  # row count preserved
+    # idempotent: a second pass changes nothing
+    again = paragraph_dedup(
+        spark.createDataFrame([(k, v) for k, v in out.items()], "doc_id bigint, text string"),
+        min_chars=4,
+    )
+    assert {r["doc_id"]: r["text"] for r in again.collect()} == out
