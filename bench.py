@@ -53,6 +53,7 @@ HEADLINE = [
     "text_analysis",
     "pruned_range_scan",
     "bloom_point_lookup",
+    "paragraph_dedup",
 ]
 
 
