@@ -30,7 +30,7 @@ from iceberg_compaction_spark.sources.table import Table
 
 
 def delete_where(
-    spark: SparkSession, table: Table, predicate: str, mode: str = "mor"
+    spark: SparkSession, table: Table, predicate: str, mode: str | None = None
 ) -> dict:
     """Delete all rows matching ``predicate`` in one atomic commit.
     Returns {"dropped_files": n, "deleted_rows": m, "snapshot_id": sid}.
@@ -51,7 +51,11 @@ def delete_where(
         exist afterwards, reads pay nothing. Write amplification =
         the straddler bytes (whole-file metadata drops still apply
         first, so a partition-aligned delete rewrites nothing either
-        way)."""
+        way).
+    ``None`` reads the table property ``write.delete.mode``
+    (default 'mor'), Iceberg-style."""
+    if mode is None:
+        mode = table.get_property("write.delete.mode", "mor")
     if mode not in ("mor", "cow"):
         raise ValueError("mode must be 'mor' or 'cow'")
     disjuncts = pruning.parse_predicate(predicate)

@@ -37,14 +37,15 @@ def update_where(
     table: Table,
     predicate: str,
     assignments: Mapping[str, str],
-    mode: str = "mor",
+    mode: str | None = None,
 ) -> dict:
     """UPDATE rows matching ``predicate``: ``assignments`` maps column
     name → SQL expression evaluated against the OLD row (standard SQL
     UPDATE semantics — all right-hand sides see pre-update values).
     Returns {"updated_rows": n, "snapshot_id": sid}.
 
-    ``mode`` (Iceberg's write.update.mode): ``"mor"`` (default) writes
+    ``mode`` (``None`` reads the ``write.update.mode`` table property,
+    default 'mor'): ``"mor"`` writes
     position-delete tombstones + new images only for MATCHED rows;
     ``"cow"`` rewrites every may-match file whole (matched rows
     transformed, the rest copied, existing tombstones folded in like
@@ -54,6 +55,8 @@ def update_where(
     The partition column is recomputed for updated rows when the
     table is partitioned (an UPDATE that moves ``ts`` moves the row's
     partition, like Iceberg's hidden partitioning would)."""
+    if mode is None:
+        mode = table.get_property("write.update.mode", "mor")
     if mode not in ("mor", "cow"):
         raise ValueError("mode must be 'mor' or 'cow'")
     user_cols = table.user_columns()

@@ -142,7 +142,22 @@ class CompactionRunner:
     def __init__(self, spark: SparkSession, table: Table, config: CompactionConfig | None = None):
         self.spark = spark
         self.table = table
-        self.config = config or CompactionConfig()
+        if config is None:
+            # table properties supply per-table defaults (Iceberg
+            # write.target-file-size idiom); an explicit config wins
+            import dataclasses
+
+            config = CompactionConfig()
+            overrides = {}
+            tfs = table.get_property("compaction.target-file-size-bytes")
+            gts = table.get_property("compaction.group-target-size-bytes")
+            if tfs is not None:
+                overrides["target_file_size_bytes"] = int(tfs)
+            if gts is not None:
+                overrides["group_target_size_bytes"] = int(gts)
+            if overrides:
+                config = dataclasses.replace(config, **overrides)
+        self.config = config
         self._info_cache: dict[str, list] = {}
         # F7 (reference writer.rs:246-254): observed *output* bytes/row
         # across bins refines rows-per-file for later bins — the input

@@ -192,6 +192,28 @@ class Table:
             json.dump(self.meta, f, indent=1)
         os.replace(tmp, os.path.join(self._meta_dir, "table.json"))
 
+    # Iceberg-style table properties: persisted per-table configuration
+    # that operators read as their defaults (explicit arguments always
+    # win). Known keys: write.delete.mode / write.update.mode
+    # ('mor'|'cow'), compaction.target-file-size-bytes,
+    # compaction.group-target-size-bytes.
+    def set_property(self, key: str, value) -> None:
+        props = dict(self.meta.get("properties") or {})
+        props[key] = value
+        self.meta["properties"] = props
+        self._write_meta()
+
+    def unset_property(self, key: str) -> None:
+        props = dict(self.meta.get("properties") or {})
+        props.pop(key, None)
+        self.meta["properties"] = props
+        self._write_meta()
+
+    def get_property(self, key: str, default=None):
+        # NOT named 'property': that would shadow the @property decorator
+        # for the rest of the class body
+        return (self.meta.get("properties") or {}).get(key, default)
+
     def set_partition_expr(self, expr: str | None) -> None:
         """Partition evolution: change how FUTURE writes derive the
         partition value (e.g. day → month), or stop partitioning with

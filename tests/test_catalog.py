@@ -80,3 +80,35 @@ def test_scan_as_of_timestamp(spark, tmp_warehouse):
     )
     assert t.scan(spark, as_of_ms=int(time.time() * 1000) + 1000).count() == 2
     t.drop_branch("b")
+
+
+def test_table_properties_drive_dml_and_compaction_defaults(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.update_where import update_where
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources import manifest as mf
+
+    t = Table.create(os.path.join(tmp_warehouse, "props"), "k bigint, v string")
+    t.append_dataframe(spark.range(500).selectExpr("id as k", "concat('v', id) as v"))
+    # properties persist across reloads
+    t.set_property("write.delete.mode", "cow")
+    t.set_property("write.update.mode", "cow")
+    t.set_property("compaction.target-file-size-bytes", 123456)
+    t2 = Table.load(t.location)
+    assert t2.get_property("write.delete.mode") == "cow"
+    assert t2.get_property("missing", "dflt") == "dflt"
+    # DML defaults come from properties: cow leaves no delete files
+    delete_where(spark, t2, "k >= 450")
+    update_where(spark, t2, "k < 10", {"v": "'u'"})
+    assert not t2.files(content=mf.CONTENT_POS_DEL)
+    assert t2.scan(spark).count() == 450
+    assert t2.scan(spark).filter("v = 'u'").count() == 10
+    # explicit argument beats the property
+    delete_where(spark, t2, "k >= 440", mode="mor")
+    assert t2.files(content=mf.CONTENT_POS_DEL)
+    assert t2.scan(spark).count() == 440
+    # compaction default config picks up the property
+    runner = CompactionRunner(spark, t2)
+    assert runner.config.target_file_size_bytes == 123456
+    t2.unset_property("write.delete.mode")
+    assert t2.get_property("write.delete.mode") is None
