@@ -66,6 +66,8 @@ def union_key_bounds(data_rows: Sequence[dict], keys: Sequence[str]) -> dict:
     unknown: set = set()
     want = set(keys)
     for r in data_rows:
+        if len(unknown) == len(want):
+            break  # every key already unknown: no more decode can help
         st = _stats_of(r)
         for k in want:
             if k in unknown:
