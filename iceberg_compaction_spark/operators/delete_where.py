@@ -17,15 +17,11 @@ files only; predicate pushdown + file pruning keep that small.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL
-from iceberg_compaction_spark.plans import pruning
 from iceberg_compaction_spark.sources import manifest as mf
-from iceberg_compaction_spark.sources import scan as scan_mod
 from iceberg_compaction_spark.sources.table import Table
 
 
@@ -58,20 +54,28 @@ def delete_where(
         mode = table.get_property("write.delete.mode", "mor")
     if mode not in ("mor", "cow"):
         raise ValueError("mode must be 'mor' or 'cow'")
-    disjuncts = pruning.parse_predicate(predicate)
-    col_types = table.column_type_categories()
     data_rows = table.files(content=mf.CONTENT_DATA)
+    # three-way split via the shared classifier (driver loop small,
+    # Arrow-vectorized over files_df above the threshold)
+    from iceberg_compaction_spark.plans.pruning_df import classify_data_rows
 
+    verdicts = classify_data_rows(
+        spark,
+        data_rows,
+        predicate,
+        table.column_type_categories(),
+        files_df_factory=lambda: table.files_df(spark).filter(
+            F.col("content") == mf.CONTENT_DATA
+        ),
+        threshold=Table.PRUNE_DF_THRESHOLD,
+    )
     full_drop: list[str] = []
     candidates: list[dict] = []
     for r in data_rows:
-        try:
-            stats = json.loads(r.get("stats_json") or "{}")
-        except ValueError:
-            stats = {}
-        if not pruning.file_may_match_any(stats, disjuncts, col_types):
+        v = verdicts[r["path"]]
+        if v == "pruned":
             continue  # provably no matching row: untouched
-        if pruning.file_all_match(stats, disjuncts, col_types):
+        if v == "all":
             full_drop.append(r["path"])
         else:
             candidates.append(r)

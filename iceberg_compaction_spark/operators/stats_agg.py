@@ -219,19 +219,29 @@ def fast_count(
             "pruned_files": 0,
         }
 
-    disjuncts = pruning.parse_predicate(predicate)
-    col_types = table.column_type_categories()
+    # three-way split (pruned / all-match / straddle), driver loop at
+    # small file counts, Arrow-vectorized over files_df above the
+    # threshold — same scale path as scan pruning
+    from iceberg_compaction_spark.plans.pruning_df import classify_data_rows
+
+    verdicts = classify_data_rows(
+        spark,
+        data_rows,
+        predicate,
+        table.column_type_categories(),
+        files_df_factory=lambda: table.files_df(spark, snapshot_id).filter(
+            F.col("content") == mf.CONTENT_DATA
+        ),
+        threshold=Table.PRUNE_DF_THRESHOLD,
+    )
     meta_count = 0
     meta_files = pruned = 0
     straddlers: list[dict] = []
     for r in data_rows:
-        try:
-            stats = json.loads(r.get("stats_json") or "{}")
-        except ValueError:
-            stats = {}
-        if not pruning.file_may_match_any(stats, disjuncts, col_types):
+        v = verdicts[r["path"]]
+        if v == "pruned":
             pruned += 1
-        elif pruning.file_all_match(stats, disjuncts, col_types):
+        elif v == "all":
             # EVERY row of the file matches — including its deleted
             # rows, so they subtract exactly
             meta_count += r["record_count"] - _dead(r)

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from iceberg_compaction_spark.errors import ValidationError
 from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL
-from iceberg_compaction_spark.plans import pruning
 from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources.table import Table
 
@@ -71,19 +70,22 @@ def update_where(
             )
 
     # may-match files only (type-aware bounds + bloom pruning); the
-    # full predicate still runs on the scanned rows
-    disjuncts = pruning.parse_predicate(predicate)
-    col_types = table.column_type_categories()
-    candidates = []
-    import json
+    # full predicate still runs on the scanned rows. Classification is
+    # the shared driver/executor path (plans/pruning_df).
+    from iceberg_compaction_spark.plans.pruning_df import classify_data_rows
 
-    for r in table.files(content=mf.CONTENT_DATA):
-        try:
-            stats = json.loads(r.get("stats_json") or "{}")
-        except ValueError:
-            stats = {}
-        if pruning.file_may_match_any(stats, disjuncts, col_types):
-            candidates.append(r["path"])
+    data_rows = table.files(content=mf.CONTENT_DATA)
+    verdicts = classify_data_rows(
+        spark,
+        data_rows,
+        predicate,
+        table.column_type_categories(),
+        files_df_factory=lambda: table.files_df(spark).filter(
+            F.col("content") == mf.CONTENT_DATA
+        ),
+        threshold=Table.PRUNE_DF_THRESHOLD,
+    )
+    candidates = [r["path"] for r in data_rows if verdicts[r["path"]] != "pruned"]
 
     if not candidates:
         return {"updated_rows": 0, "snapshot_id": table.current_snapshot_id}

@@ -57,3 +57,50 @@ def prune_files_df(
         return stats_json.map(one)
 
     return files_df.filter(may_match(F.col("stats_json")))
+
+
+def _classify_one(stats_json: str, disjuncts, col_types) -> str:
+    try:
+        stats = json.loads(stats_json or "{}")
+    except ValueError:
+        stats = {}
+    if not pruning.file_may_match_any(stats, disjuncts, col_types):
+        return "pruned"
+    if pruning.file_all_match(stats, disjuncts, col_types):
+        return "all"
+    return "straddle"
+
+
+def classify_data_rows(
+    spark,
+    data_rows,
+    predicate: str,
+    col_types: dict | None = None,
+    files_df_factory=None,
+    threshold: int = 4096,
+) -> dict:
+    """{path: 'pruned' | 'all' | 'straddle'} — the three-way split the
+    metadata operators (fast_count, DELETE/UPDATE WHERE) share. Below
+    ``threshold`` files it is the driver loop; above, the SAME
+    classifier runs Arrow-vectorized over the manifest DataFrame
+    (``files_df_factory()``) and the driver receives (path, verdict)
+    pairs only — no per-file JSON decode on the driver at the
+    10⁶-file stretch envelope."""
+    disjuncts = pruning.parse_predicate(predicate)
+    if len(data_rows) > threshold and files_df_factory is not None:
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("string")
+        def verdict(stats_json: pd.Series) -> pd.Series:
+            return stats_json.map(lambda s: _classify_one(s, disjuncts, col_types))
+
+        got = (
+            files_df_factory()
+            .select("path", verdict(F.col("stats_json")).alias("v"))
+            .collect()
+        )
+        return {r["path"]: r["v"] for r in got}
+    return {
+        r["path"]: _classify_one(r.get("stats_json"), disjuncts, col_types)
+        for r in data_rows
+    }

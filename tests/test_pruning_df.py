@@ -138,3 +138,37 @@ def test_scan_switches_to_df_path_above_threshold(spark, tmp_warehouse, monkeypa
     assert METRICS.get("scan.prune_df_path") == before + 1
     assert got == expected
     assert t.last_scan_pruned_files == pruned_driver
+
+
+def test_classifier_driver_and_executor_identical(spark):
+    import json as _json
+
+    from iceberg_compaction_spark.plans.pruning_df import classify_data_rows
+
+    rows = []
+    for i, (mn, mx, nulls) in enumerate(
+        [(0, 10, 0), (5, 50, 0), (60, 90, 0), (None, None, None), (20, 20, 0)]
+    ):
+        rows.append(
+            {
+                "path": f"f{i}",
+                "content": "data",
+                "size_bytes": 1,
+                "record_count": 1,
+                "sequence_number": 1,
+                "partition": "",
+                "equality_ids": [],
+                "stats_json": _json.dumps({"a": {"min": mn, "max": mx, "nulls": nulls}}),
+            }
+        )
+    pred = "a >= 0 AND a < 40"
+    ct = {"a": "num"}
+    drv = classify_data_rows(spark, rows, pred, ct, threshold=10**9)
+    exe = classify_data_rows(
+        spark, rows, pred, ct,
+        files_df_factory=lambda: spark.createDataFrame(rows, _MANIFEST_DDL),
+        threshold=0,
+    )
+    assert drv == exe
+    assert drv == {"f0": "all", "f1": "straddle", "f2": "pruned",
+                   "f3": "straddle", "f4": "all"}
