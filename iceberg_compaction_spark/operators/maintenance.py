@@ -292,6 +292,64 @@ def recommend_compaction(table: Table, config=None) -> dict:
     }
 
 
+def rewrite_position_deletes(spark: SparkSession, table: Table) -> int:
+    """Consolidate the table's position-delete files (Iceberg's
+    rewrite_position_delete_files): many tiny per-commit delete files
+    become ceil(rows / DELETE_ROWS_PER_FILE) coalesced ones — every
+    subsequent MoR scan opens a handful of delete files instead of one
+    per historical DELETE. Entries referencing dead data files are
+    dropped on the way (the dangling-cleanup rewrite folded in);
+    duplicate (file, pos) pairs collapse. Returns the new snapshot id
+    (current if there was nothing to consolidate)."""
+    man = table.manifest()
+    pos_rows = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
+    if len(pos_rows) <= 1:
+        return table.current_snapshot_id
+    live_paths = sorted(
+        r["path"] for r in man if r["content"] == mf.CONTENT_DATA
+    )
+    refs = scan_mod.read_position_deletes(spark, [r["path"] for r in pos_rows])
+    live_df = spark.createDataFrame([(p,) for p in live_paths], f"{FILE_COL} string")
+    kept = refs.join(F.broadcast(live_df), on=FILE_COL, how="left_semi").distinct()
+    infos = table.write_delete_files(kept, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL)
+    infos = [fi for fi in infos if fi.record_count > 0]
+    # position deletes are seq-agnostic in the MoR join, but preserve
+    # the max source seq for manifest bookkeeping
+    max_seq = max(r["sequence_number"] for r in pos_rows)
+    for fi in infos:
+        fi.sequence_number = max_seq
+    return table.commit(
+        "maintenance",
+        added=infos,
+        removed_paths=[r["path"] for r in pos_rows],
+        extra_summary={"rewrote_pos_delete_files": len(pos_rows)},
+    )
+
+
+def migrate_partition_spec(
+    spark: SparkSession, table: Table, max_records_per_file: int | None = None
+) -> int:
+    """Rewrite the WHOLE table under its CURRENT partition spec — the
+    one-shot migration after ``set_partition_expr`` changed the grain
+    (day → month, or un/re-partitioning). The MoR scan folds every
+    delete in; ``write_data_files`` recomputes the partition value per
+    row and keeps files partition-pure; one replace commit swaps the
+    entire layout atomically (readers see old or new, never a mix).
+    Cost: one full read + write — the same bytes a FULL compaction
+    moves, which is what a partition migration IS."""
+    man = table.manifest()
+    if not man:
+        return table.current_snapshot_id
+    df = table.scan(spark)  # user columns; _part recomputed at write
+    infos = table.write_data_files(df, max_records_per_file=max_records_per_file)
+    return table.commit(
+        "replace",
+        added=infos,
+        removed_paths=[r["path"] for r in man],
+        extra_summary={"partition_migration": True},
+    )
+
+
 def run_maintenance(
     spark: SparkSession,
     table: Table,

@@ -124,3 +124,73 @@ def test_delete_where_hybrid(spark, tmp_warehouse):
         for r in t.scan(spark).select("conv_id", "turn_idx", "text").collect()
     )
     assert got2 == expected
+
+
+def test_rewrite_position_deletes_consolidates(spark, tmp_warehouse):
+    import os
+
+    from iceberg_compaction_spark.operators.maintenance import (
+        rewrite_position_deletes,
+    )
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.table import Table
+
+    t = Table.create(os.path.join(tmp_warehouse, "rpd"), "k bigint, v string")
+    t.append_dataframe(spark.range(1000).selectExpr("id as k", "'x' as v"))
+    # five separate DELETEs → five pos-delete file sets (one includes
+    # a duplicated pair via re-deleting an overlapping range)
+    for lo in (0, 100, 200, 300, 250):
+        hits = (
+            t.scan(spark, with_hidden=True)
+            .filter(f"k >= {lo} AND k < {lo + 60}")
+            .select("_file", "_pos")
+        )
+        if hits.count():
+            t.add_position_deletes(hits)
+    before_files = t.files(content=mf.CONTENT_POS_DEL)
+    assert len(before_files) >= 4
+    n_live = t.scan(spark).count()
+    rewrite_position_deletes(spark, t)
+    after_files = t.files(content=mf.CONTENT_POS_DEL)
+    assert len(after_files) == 1
+    assert t.scan(spark).count() == n_live  # visibility unchanged
+    # duplicates collapsed: consolidated rows == distinct dead rows
+    assert sum(f["record_count"] for f in after_files) == 1000 - n_live
+    # idempotent-ish: a second run is a no-op commit-wise
+    sid = t.current_snapshot_id
+    assert rewrite_position_deletes(spark, t) == sid
+
+
+def test_migrate_partition_spec_day_to_month(spark, tmp_warehouse):
+    import json
+    import os
+
+    from iceberg_compaction_spark.operators.maintenance import migrate_partition_spec
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.table import Table
+
+    t = Table.create(
+        os.path.join(tmp_warehouse, "mig"), "k bigint, ts timestamp, v string",
+        partition={"field": "_part", "expr": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    df = spark.range(3000).selectExpr(
+        "id as k",
+        "timestamp'2024-06-25 00:00:00' + make_interval(0,0,0,0,0,0,id*600) as ts",
+        "concat('v', id) as v",
+    )
+    t.append_dataframe(df.repartition(4))
+    # delete some rows, then change the grain to month and migrate
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+
+    delete_where(spark, t, "k % 10 = 1")
+    before = sorted(tuple(r) for r in t.scan(spark).collect())
+    t.set_partition_expr("date_format(ts, 'yyyy-MM')")
+    migrate_partition_spec(spark, t)
+    # all files now carry month-grain partition values; deletes folded
+    parts = {r["partition"] for r in t.files(content=mf.CONTENT_DATA)}
+    assert parts and all(len(p) == 7 for p in parts), parts
+    assert not t.files(content=mf.CONTENT_POS_DEL)
+    assert sorted(tuple(r) for r in t.scan(spark).collect()) == before
+    # pruning works on the new grain
+    t.scan(spark, filter="ts >= TIMESTAMP '2024-07-01 00:00:00'").count()
+    assert t.last_scan_pruned_files >= 1
