@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_roundtrip": QP.q_delete_where_roundtrip,
         "merge_into_roundtrip": QP.q_merge_into_roundtrip,
         "time_travel_scan": QP.q_time_travel_scan,
+        "wap_publish_scan": QP.q_wap_publish_scan,
+        "rollback_scan": QP.q_rollback_scan,
         "incremental_scan": QP.q_incremental_scan,
         "changelog_scan": QP.q_changelog_scan,
         "metadata_count": QP.q_metadata_count,
@@ -121,6 +123,8 @@ def oracle_sql() -> dict[str, str]:
         "delete_where_roundtrip": QP.DELETE_WHERE_ROUNDTRIP_SQL,
         "merge_into_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,
         "time_travel_scan": QP.TIME_TRAVEL_SCAN_SQL,
+        "wap_publish_scan": QP.WAP_PUBLISH_SCAN_SQL,
+        "rollback_scan": QP.ROLLBACK_SCAN_SQL,
         "incremental_scan": QP.INCREMENTAL_SCAN_SQL,
         "changelog_scan": QP.CHANGELOG_SCAN_SQL,
         "metadata_count": QP.METADATA_COUNT_SQL,

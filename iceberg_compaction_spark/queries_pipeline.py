@@ -1284,6 +1284,89 @@ FROM base
 """
 
 
+def q_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: write-audit-publish at the oracle gate — one third of
+    the rows land on main, the rest arrive via TWO branch commits and
+    a fast-forward publish; a second branch stages junk and is dropped
+    unpublished. The final scan must equal the full base relation
+    (and contain zero junk)."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_wap_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.filter("turn_idx % 3 = 0"))
+        table.create_branch("audit")
+        table.append_dataframe(base.filter("turn_idx % 3 = 1"), branch="audit")
+        table.append_dataframe(base.filter("turn_idx % 3 = 2"), branch="audit")
+        # a rejected audit: staged rows must never reach main
+        table.create_branch("bad")
+        junk = base.filter("turn_idx % 3 = 0").withColumn(
+            "text", F.lit("JUNK-REJECTED")
+        )
+        table.append_dataframe(junk, branch="bad")
+        table.drop_branch("bad")
+        table.fast_forward_main("audit")
+        out = table.scan(spark).select(
+            "conv_id", "turn_idx", "role", "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+WAP_PUBLISH_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base
+"""
+
+
+def q_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: snapshot rollback at the oracle gate — append the even
+    turns, then the odds, then DELETE a slice, then roll back to the
+    first snapshot: the scan must equal exactly the even-turn
+    relation (rollback commits the content diff, pinned against
+    concurrent commits)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_rb_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        sid_even = table.append_dataframe(base.filter("turn_idx % 2 = 0"))
+        table.append_dataframe(base.filter("turn_idx % 2 = 1"))
+        delete_where(spark, table, "turn_idx % 10 = 0")
+        table.rollback_to(sid_even)
+        out = table.scan(spark).select(
+            "conv_id", "turn_idx", "role", "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ROLLBACK_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE turn_idx % 2 = 0
+"""
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: corpus-wide PARAGRAPH-level exact dedup (first
     occurrence by (doc_id, position) wins; documents reassembled in
