@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_scan": QP.q_time_travel_scan,
         "wap_publish_scan": QP.q_wap_publish_scan,
         "rollback_scan": QP.q_rollback_scan,
+        "partition_evolution_scan": QP.q_partition_evolution_scan,
         "incremental_scan": QP.q_incremental_scan,
         "changelog_scan": QP.q_changelog_scan,
         "metadata_count": QP.q_metadata_count,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_scan": QP.TIME_TRAVEL_SCAN_SQL,
         "wap_publish_scan": QP.WAP_PUBLISH_SCAN_SQL,
         "rollback_scan": QP.ROLLBACK_SCAN_SQL,
+        "partition_evolution_scan": QP.PARTITION_EVOLUTION_SCAN_SQL,
         "incremental_scan": QP.INCREMENTAL_SCAN_SQL,
         "changelog_scan": QP.CHANGELOG_SCAN_SQL,
         "metadata_count": QP.METADATA_COUNT_SQL,

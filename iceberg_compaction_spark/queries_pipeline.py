@@ -1284,6 +1284,49 @@ FROM base
 """
 
 
+def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: partition evolution at the oracle gate — half the rows
+    are written under DAY grain, the spec evolves to MONTH, the rest
+    land under the new grain; the mixed-layout scan must equal the
+    full relation, and bounds pruning must still fire across BOTH
+    grains (self-gated)."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_pev_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.filter("turn_idx % 2 = 0"))
+        table.set_partition_expr("date_format(ts, 'yyyy-MM')")
+        table.append_dataframe(base.filter("turn_idx % 2 = 1"))
+        # pruning still fires on the mixed layout (real ts bounds, not
+        # partition names, drive it)
+        table.scan(
+            spark, filter=f"ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'"
+        ).count()
+        if table.last_scan_pruned_files == 0:
+            raise AssertionError("mixed-grain pruning fired on zero files")
+        out = table.scan(spark).select(
+            "conv_id", "turn_idx", "role", "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+PARTITION_EVOLUTION_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base
+"""
+
+
 def q_wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: write-audit-publish at the oracle gate — one third of
     the rows land on main, the rest arrive via TWO branch commits and

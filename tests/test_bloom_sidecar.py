@@ -136,3 +136,17 @@ def test_orphan_cleanup_sweeps_unreferenced_sidecars(spark, tmp_warehouse):
     assert not (left & first_sidecars), (left, first_sidecars)
     # the surviving batch still scans fine
     assert t.scan(spark).count() == 1000
+
+
+def test_df_prune_path_probes_sidecars(spark, tmp_warehouse, monkeypatch):
+    """Above PRUNE_DF_THRESHOLD the pruning twin runs executor-side —
+    bloom sidecars must still probe (read inside the Arrow UDF) and
+    the point lookup stays exact."""
+    t = _mk(spark, os.path.join(tmp_warehouse, "dfbloom"))
+    n_files = len(t.files(content=mf.CONTENT_DATA))
+    monkeypatch.setattr(Table, "PRUNE_DF_THRESHOLD", 0)
+    bloom._SIDECAR_CACHE.clear()
+    assert t.scan(spark, filter="conv_id = 'conv_000123'").count() == 100
+    assert t.last_scan_pruned_files > 0
+    t.scan(spark, filter="conv_id = 'conv_999999'").count()
+    assert t.last_scan_pruned_files == n_files
