@@ -255,3 +255,23 @@ def test_random_dml_modes_match_model(spark, tmp_warehouse, seed):
         assert _scan_state(spark, t) == model, f"seed {seed} step {step} ({op})"
         fc = fast_count(spark, t)
         assert fc["count"] == len(model), f"seed {seed} step {step} fast_count"
+
+    # CDC replay across the whole run — CoW commits emit noisy
+    # delete+insert pairs for rewritten files, but the multiset replay
+    # must still net to the final state exactly
+    from collections import Counter
+
+    from iceberg_compaction_spark.operators.changelog import changelog_scan
+
+    changes = changelog_scan(spark, t, None, columns=["conv_id", "turn_idx", "text"])
+    replayed: Counter = Counter()
+    for r in changes.collect():
+        key = (r["conv_id"], r["turn_idx"], r["text"])
+        if r["_change_type"] == "delete":
+            replayed[key] -= 1
+            if replayed[key] == 0:
+                del replayed[key]
+        else:
+            replayed[key] += 1
+    final = Counter({(c, k, v): 1 for (c, k), v in _scan_state(spark, t).items()})
+    assert replayed == final, f"seed {seed}: changelog replay diverged under CoW DML"
