@@ -4,10 +4,11 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators; keys without an oracle are
-non-SQL-expressible ops (Hilbert curve, approximate LSH ANN, sha1
-multimodal features) and get the driver's rows-only check — their
-correctness is pinned by tests/ instead.
+training-data pipeline operators — 56 queries, 54 of them
+DuckDB-oracle-checked. The two keys without an oracle are
+non-SQL-expressible by design (approximate LSH ANN — self-gating on
+in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
+driver's rows-only check; their correctness is pinned by tests/.
 """
 
 from __future__ import annotations
