@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish_scan": QP.q_wap_publish_scan,
         "rollback_scan": QP.q_rollback_scan,
         "partition_evolution_scan": QP.q_partition_evolution_scan,
+        "maintenance_lifecycle_scan": QP.q_maintenance_lifecycle_scan,
         "incremental_scan": QP.q_incremental_scan,
         "changelog_scan": QP.q_changelog_scan,
         "metadata_count": QP.q_metadata_count,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "wap_publish_scan": QP.WAP_PUBLISH_SCAN_SQL,
         "rollback_scan": QP.ROLLBACK_SCAN_SQL,
         "partition_evolution_scan": QP.PARTITION_EVOLUTION_SCAN_SQL,
+        "maintenance_lifecycle_scan": QP.MAINTENANCE_LIFECYCLE_SCAN_SQL,
         "incremental_scan": QP.INCREMENTAL_SCAN_SQL,
         "changelog_scan": QP.CHANGELOG_SCAN_SQL,
         "metadata_count": QP.METADATA_COUNT_SQL,

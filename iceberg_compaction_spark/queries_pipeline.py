@@ -1284,6 +1284,58 @@ FROM base
 """
 
 
+def q_maintenance_lifecycle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: the full table lifecycle through the one-call
+    maintainer — ingest as small files, MERGE-update a slice, DELETE a
+    slice, then ``run_maintenance`` (threshold-scored compaction +
+    dangling-delete cleanup + expiry + orphan sweep + manifest
+    collapse); the post-maintenance scan must equal the plain SQL
+    CASE/filter relation, with all delete files folded away
+    (self-gated)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.maintenance import run_maintenance
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_life_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base, max_records_per_file=1500)  # many small files
+        upd = base.filter("turn_idx % 6 = 4").withColumn(
+            "text", F.concat(F.col("text"), F.lit("~merged"))
+        )
+        merge_into(table, upd, keys=["conv_id", "turn_idx"])
+        delete_where(spark, table, "turn_idx % 9 = 5")
+        res = run_maintenance(spark, table, retain_last=1)
+        if "compaction" not in res or res["compaction"]["bins_executed"] == 0:
+            raise AssertionError(f"maintenance compacted nothing: {res}")
+        man = table.manifest()
+        if any(r["content"] != "data" for r in man):
+            raise AssertionError("delete files survived maintenance")
+        out = table.scan(spark).select(
+            "conv_id", "turn_idx", "role", "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+MAINTENANCE_LIFECYCLE_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 6 = 4 THEN text || '~merged' ELSE text END AS text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE turn_idx % 9 <> 5
+"""
+
+
 def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: partition evolution at the oracle gate — half the rows
     are written under DAY grain, the spec evolves to MONTH, the rest
