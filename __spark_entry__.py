@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_signatures": QP.q_minhash_band_signatures,
         "simhash_fingerprint": QP.q_simhash_fingerprint,
         "text_analysis": QP.q_text_analysis,
+        "bm25_relevance": QP.q_bm25_relevance,
         "winnow_fingerprints": QP.q_winnow_fingerprints,
         "embedding_topk": QP.q_embedding_topk,
         "embedding_dedup": QP.q_embedding_dedup,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,
         "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
         "text_analysis": QP.TEXT_ANALYSIS_SQL,
+        "bm25_relevance": QP.BM25_RELEVANCE_SQL,
         "winnow_fingerprints": QP.WINNOW_FINGERPRINTS_SQL,
         "embedding_topk": QP.EMBEDDING_TOPK_SQL,
         "embedding_dedup": QP.EMBEDDING_DEDUP_SQL,

@@ -161,3 +161,62 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("_win_min").alias("fingerprint_hash"))
         .distinct()
     )
+
+
+def bm25_scores(
+    df,
+    query_terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance of every document against ``query_terms`` — the
+    query-relevance-mining shape training-data curation uses to surface
+    documents about a topic from a raw corpus. Returns (id, bm25).
+
+    Plan: one explode to (doc, term) with per-doc term frequencies and
+    lengths (map-side combine), corpus df/avgdl as two scalar-sized
+    aggregates joined back broadcast, score as a pure JVM expression —
+    scan-dominated, one shuffle on the (doc, term) group-by, no UDFs.
+    Documents sharing no term score 0 (kept: the caller thresholds)."""
+    from pyspark.sql import functions as F
+
+    terms = [t.lower() for t in query_terms]
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
+        r"\s+",
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, F.size("_toks").alias("_dl"), F.explode("_toks").alias("_term")
+    )
+    n_docs = df.count()
+    avgdl = base.groupBy(id_col).agg(F.max("_dl").alias("_dl")).agg(
+        F.avg("_dl")
+    ).collect()[0][0]
+    tf = (
+        base.filter(F.col("_term").isin(terms))
+        .groupBy(id_col, "_term")
+        .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .withColumn(
+            "_idf",
+            F.log((F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("bm25"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(id_col, F.coalesce("bm25", F.lit(0.0)).alias("bm25"))
+    )

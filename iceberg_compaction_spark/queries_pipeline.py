@@ -1284,6 +1284,53 @@ FROM base
 """
 
 
+def q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: BM25 query-relevance over the documents corpus (the
+    topic-mining scorer training-data curation uses). Every document is
+    returned with its rounded score so the comparison is
+    order-independent."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.textql import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["table", "scan", "merge"])
+    return out.select("doc_id", F.round("bm25", 4).alias("bm25_r"))
+
+
+BM25_RELEVANCE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('table', 'scan', 'merge') GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, round(coalesce(s.bm25, 0.0), 4) AS bm25_r
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_maintenance_lifecycle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: the full table lifecycle through the one-call
     maintainer — ingest as small files, MERGE-update a slice, DELETE a

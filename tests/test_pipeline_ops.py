@@ -358,3 +358,24 @@ def test_paragraph_dedup(spark):
         min_chars=4,
     )
     assert {r["doc_id"]: r["text"] for r in again.collect()} == out
+
+
+def test_bm25_scores_basic(spark):
+    from iceberg_compaction_spark.operators.textql import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table scan table table"),
+            (2, "spark join merge"),
+            (3, "nothing relevant here"),
+            (4, "table"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["table", "merge"]).collect()}
+    assert set(out) == {1, 2, 3, 4}  # every doc returned
+    assert out[3] == 0.0  # no shared term
+    assert out[1] > out[4] > 0  # higher tf wins for the same term
+    assert out[2] > 0  # merge is rarer → high idf
+    # rarity beats repetition here: 'merge' appears in 1/4 docs
+    assert out[2] > out[4]
