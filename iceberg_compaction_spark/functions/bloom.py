@@ -100,19 +100,24 @@ _SIDECAR_LOCK = Lock()
 
 def _load_sidecar(path: str) -> dict | None:
     """{key: bitmap bytes} for one sidecar file (cached), or None when
-    the sidecar is missing/corrupt (probe degrades to 'maybe')."""
+    the sidecar is missing/corrupt (probe degrades to 'maybe').
+    Failures are NOT cached: a transient IO error must not pin every
+    later probe through this sidecar to 'maybe present' for the
+    process lifetime — the next probe retries the read. Hits move to
+    the end of the (ordered) dict so eviction is true LRU."""
     with _SIDECAR_LOCK:
         if path in _SIDECAR_CACHE:
+            _SIDECAR_CACHE[path] = _SIDECAR_CACHE.pop(path)  # LRU touch
             return _SIDECAR_CACHE[path]
     try:
         with open(path) as f:
             payload = json.load(f)
         decoded = {k: base64.b64decode(v) for k, v in payload.items()}
     except (OSError, ValueError, TypeError):
-        decoded = None
+        return None  # uncached: transient failures retry on next probe
     METRICS.inc("bloom.sidecar_loads")
     with _SIDECAR_LOCK:
-        if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+        while len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
             _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
         _SIDECAR_CACHE[path] = decoded
     return decoded

@@ -76,8 +76,9 @@ def analyze_table(
             for c in cols
         },
     }
-    table.meta["column_stats"] = stats
-    table._write_meta()
+    # under the commit lock with a disk refresh: a concurrent property
+    # write or second ANALYZE must not be lost to this read-modify-write
+    table._locked_meta_write(lambda: table.meta.__setitem__("column_stats", stats))
     return stats
 
 

@@ -112,7 +112,33 @@ def delete_where(
             deleted_rows = sum(fi.record_count for fi in added)
             if deleted_rows == 0:
                 added = []  # nothing matched: don't commit an empty delete file
-    deleted_rows += sum(r["record_count"] for r in data_rows if r["path"] in set(full_drop))
+    # full-drop files are removed by metadata, but their record_count
+    # includes rows ALREADY dead via existing position-delete
+    # tombstones — subtract those per-file distinct refs (one narrow,
+    # delete-set-sized scan, as fast_count does) so deleted_rows is the
+    # number of live rows this DELETE actually removed. With live
+    # equality deletes the figure stays an upper bound (value-dependent
+    # kills are unknowable from metadata); exact row accounting there
+    # would need a full MoR scan of the dropped files.
+    full_drop_set = set(full_drop)
+    dead_by_file: dict[str, int] = {}
+    pos_paths = [r["path"] for r in table.files(content=mf.CONTENT_POS_DEL)]
+    if full_drop_set and pos_paths:
+        from iceberg_compaction_spark.sources import scan as scan_mod
+
+        refs = (
+            scan_mod.read_position_deletes(spark, pos_paths)
+            .filter(F.col(FILE_COL).isin(list(full_drop_set)))
+            .distinct()
+            .groupBy(FILE_COL)
+            .count()
+        )
+        dead_by_file = {r[FILE_COL]: r["count"] for r in refs.collect()}
+    deleted_rows += sum(
+        r["record_count"] - dead_by_file.get(r["path"], 0)
+        for r in data_rows
+        if r["path"] in full_drop_set
+    )
 
     if not removed and not added:
         return {

@@ -129,14 +129,18 @@ def fast_min_max(
                 st = json.loads(r.get("stats_json") or "{}").get(column)
             except ValueError:
                 st = None
+            # a one-sided stats entry (min known, max unknown or vice
+            # versa) is just as undecidable as fully-missing bounds —
+            # without this, max(maxs) over a None raises TypeError
+            bounds_unknown = st is None or st.get("min") is None or st.get("max") is None
             if (
                 not st
                 or st.get("nulls") is None
-                or (st.get("min") is None and st["nulls"] < r["record_count"])
+                or (bounds_unknown and st["nulls"] < r["record_count"])
             ):
                 decided = False  # unknown bounds with non-null rows present
                 break
-            if st.get("min") is not None:
+            if not bounds_unknown:
                 mins.append(st["min"])
                 maxs.append(st["max"])
     if decided and mins:

@@ -192,22 +192,46 @@ class Table:
             json.dump(self.meta, f, indent=1)
         os.replace(tmp, os.path.join(self._meta_dir, "table.json"))
 
+    def _locked_meta_write(self, mut) -> None:
+        """Serialize table.json read-modify-writes under the commit
+        lock, refreshing ``self.meta`` from disk first so a concurrent
+        writer's update (property set, ANALYZE stats, schema change)
+        is never silently lost — the same discipline refs.json already
+        follows. ``mut`` mutates ``self.meta`` in place; validation
+        errors it raises propagate (only LockBusy retries)."""
+
+        def attempt() -> None:
+            with self._lock():
+                try:
+                    with open(os.path.join(self._meta_dir, "table.json")) as f:
+                        self.meta = json.load(f)
+                except (FileNotFoundError, ValueError):
+                    pass  # keep the in-memory copy (e.g. mid-create)
+                mut()
+                self._write_meta()
+
+        with_retry(attempt, retries=5, base_s=0.05, cap_s=5.0, retry_on=(LockBusy,))
+
     # Iceberg-style table properties: persisted per-table configuration
     # that operators read as their defaults (explicit arguments always
     # win). Known keys: write.delete.mode / write.update.mode
     # ('mor'|'cow'), compaction.target-file-size-bytes,
     # compaction.group-target-size-bytes.
     def set_property(self, key: str, value) -> None:
-        props = dict(self.meta.get("properties") or {})
-        props[key] = value
-        self.meta["properties"] = props
-        self._write_meta()
+        def mut() -> None:
+            props = dict(self.meta.get("properties") or {})
+            props[key] = value
+            self.meta["properties"] = props
+
+        self._locked_meta_write(mut)
 
     def unset_property(self, key: str) -> None:
-        props = dict(self.meta.get("properties") or {})
-        props.pop(key, None)
-        self.meta["properties"] = props
-        self._write_meta()
+        def mut() -> None:
+            props = dict(self.meta.get("properties") or {})
+            props.pop(key, None)
+            self.meta["properties"] = props
+
+        self._locked_meta_write(mut)
 
     def get_property(self, key: str, default=None):
         # NOT named 'property': that would shadow the @property decorator
@@ -222,13 +246,16 @@ class Table:
         planning (bins never span partition values) and pruning (real
         column bounds) are exact across the mixed layout; a full
         rewrite migrates old files when wanted."""
-        if expr is None:
-            self.meta["partition"] = None
-        elif self.meta.get("partition"):
-            self.meta["partition"] = {**self.meta["partition"], "expr": expr}
-        else:
-            self.meta["partition"] = {"field": PART_COL, "expr": expr}
-        self._write_meta()
+
+        def mut() -> None:
+            if expr is None:
+                self.meta["partition"] = None
+            elif self.meta.get("partition"):
+                self.meta["partition"] = {**self.meta["partition"], "expr": expr}
+            else:
+                self.meta["partition"] = {"field": PART_COL, "expr": expr}
+
+        self._locked_meta_write(mut)
 
     def set_bloom_columns(
         self, columns: Sequence[str] | None, fpp: float = 0.01, ndv: int = 100_000
@@ -237,10 +264,13 @@ class Table:
         files gain blooms when compaction rewrites them — same
         mixed-layout rule as partition evolution: a file without a
         bloom simply never bloom-prunes)."""
-        self.meta["bloom"] = (
-            {"columns": list(columns), "fpp": fpp, "ndv": ndv} if columns else None
-        )
-        self._write_meta()
+
+        def mut() -> None:
+            self.meta["bloom"] = (
+                {"columns": list(columns), "fpp": fpp, "ndv": ndv} if columns else None
+            )
+
+        self._locked_meta_write(mut)
 
     def bloom_write_options(self, writer):
         """Parquet-level bloom filters on configured columns: row groups
@@ -297,19 +327,24 @@ class Table:
         return ``default`` (Iceberg v3 initial-default; NULL when
         unset) for rows written before the column existed — and ONLY
         for those rows: post-add files with genuine NULLs keep them."""
-        if name in self.user_columns():
-            raise ValidationError(f"column {name} already exists")
-        self.meta["schema_ddl"] = f"{self.meta['schema_ddl']}, {name} {ddl_type}"
-        if default is not None:
-            self.meta["column_defaults"] = (self.meta.get("column_defaults") or []) + [
-                {
-                    "seq": self.sequence_number,
-                    "ord": self._next_evo_ord(),
-                    "col": name,
-                    "value": default,
-                }
-            ]
-        self._write_meta()
+
+        def mut() -> None:
+            if name in self.user_columns():
+                raise ValidationError(f"column {name} already exists")
+            self.meta["schema_ddl"] = f"{self.meta['schema_ddl']}, {name} {ddl_type}"
+            if default is not None:
+                self.meta["column_defaults"] = (
+                    self.meta.get("column_defaults") or []
+                ) + [
+                    {
+                        "seq": self.sequence_number,
+                        "ord": self._next_evo_ord(),
+                        "col": name,
+                        "value": default,
+                    }
+                ]
+
+        self._locked_meta_write(mut)
 
     def _next_evo_ord(self) -> int:
         """Strict recording order across ALL schema-evolution events:
@@ -327,74 +362,80 @@ class Table:
         metadata-only: old files keep the narrow physical type; reads
         cast per epoch. Iceberg's type-promotion rules gate what's
         legal."""
-        new_type = new_type.strip().lower()
-        cols = self.user_columns()
-        if name not in cols:
-            raise ValidationError(f"no such column {name}")
-        cur_type = None
-        pieces, depth, cur = [], 0, ""
-        for ch in self.meta["schema_ddl"]:
-            if ch == "<":
-                depth += 1
-            elif ch == ">":
-                depth -= 1
-            if ch == "," and depth == 0:
+        new_type_n = new_type.strip().lower()
+
+        def mut() -> None:
+            cols = self.user_columns()
+            if name not in cols:
+                raise ValidationError(f"no such column {name}")
+            cur_type = None
+            pieces, depth, cur = [], 0, ""
+            for ch in self.meta["schema_ddl"]:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    pieces.append(cur)
+                    cur = ""
+                else:
+                    cur += ch
+            if cur.strip():
                 pieces.append(cur)
-                cur = ""
-            else:
-                cur += ch
-        if cur.strip():
-            pieces.append(cur)
-        out = []
-        for p in pieces:
-            cname, rest = p.strip().split(None, 1)
-            if cname.strip("`") == name:
-                cur_type = rest.strip().lower()
-                out.append(f"{name} {new_type}")
-            else:
-                out.append(p.strip())
-        if new_type not in Table._WIDENINGS.get(cur_type, set()):
-            raise ValidationError(f"cannot widen {name}: {cur_type} → {new_type}")
-        self.meta["schema_ddl"] = ", ".join(out)
-        self.meta["widenings"] = (self.meta.get("widenings") or []) + [
-            {
-                "seq": self.sequence_number,
-                "ord": self._next_evo_ord(),
-                "col": name,
-                "from": cur_type,
-                "to": new_type,
-            }
-        ]
-        self._write_meta()
+            out = []
+            for p in pieces:
+                cname, rest = p.strip().split(None, 1)
+                if cname.strip("`") == name:
+                    cur_type = rest.strip().lower()
+                    out.append(f"{name} {new_type_n}")
+                else:
+                    out.append(p.strip())
+            if new_type_n not in Table._WIDENINGS.get(cur_type, set()):
+                raise ValidationError(f"cannot widen {name}: {cur_type} → {new_type_n}")
+            self.meta["schema_ddl"] = ", ".join(out)
+            self.meta["widenings"] = (self.meta.get("widenings") or []) + [
+                {
+                    "seq": self.sequence_number,
+                    "ord": self._next_evo_ord(),
+                    "col": name,
+                    "from": cur_type,
+                    "to": new_type_n,
+                }
+            ]
+
+        self._locked_meta_write(mut)
 
     def drop_column(self, name: str) -> None:
         """Remove a column from the schema. Data files keep the bytes
         (dead until compaction rewrites them); scans stop projecting it
         immediately."""
-        part = self.meta.get("partition")
-        if part and name == part["field"]:
-            raise ValidationError("cannot drop the partition column")
-        cols = self.user_columns()
-        if name not in cols:
-            raise ValidationError(f"no such column {name}")
-        if len(cols) == 1:
-            raise ValidationError("cannot drop the last column")
-        pieces, depth, cur = [], 0, ""
-        for ch in self.meta["schema_ddl"]:
-            if ch == "<":
-                depth += 1
-            elif ch == ">":
-                depth -= 1
-            if ch == "," and depth == 0:
+
+        def mut() -> None:
+            part = self.meta.get("partition")
+            if part and name == part["field"]:
+                raise ValidationError("cannot drop the partition column")
+            cols = self.user_columns()
+            if name not in cols:
+                raise ValidationError(f"no such column {name}")
+            if len(cols) == 1:
+                raise ValidationError("cannot drop the last column")
+            pieces, depth, cur = [], 0, ""
+            for ch in self.meta["schema_ddl"]:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    pieces.append(cur)
+                    cur = ""
+                else:
+                    cur += ch
+            if cur.strip():
                 pieces.append(cur)
-                cur = ""
-            else:
-                cur += ch
-        if cur.strip():
-            pieces.append(cur)
-        kept = [p for p in pieces if p.strip().split()[0].strip("`") != name]
-        self.meta["schema_ddl"] = ", ".join(p.strip() for p in kept)
-        self._write_meta()
+            kept = [p for p in pieces if p.strip().split()[0].strip("`") != name]
+            self.meta["schema_ddl"] = ", ".join(p.strip() for p in kept)
+
+        self._locked_meta_write(mut)
 
     def rename_column(self, old: str, new: str) -> None:
         """Metadata-only column rename, Iceberg-style: no data rewrite.
@@ -406,42 +447,50 @@ class Table:
         the historic name, so bounds/bloom pruning on the new name is
         simply skipped for them (conservative); compaction rewrites
         migrate files to current names."""
-        cols = self.user_columns()
-        if old not in cols:
-            raise ValidationError(f"no such column {old}")
-        if new in cols:
-            raise ValidationError(f"column {new} already exists")
-        part = self.meta.get("partition")
-        if part and old == part["field"]:
-            raise ValidationError("cannot rename the partition column")
-        for r in self.files(content=mf.CONTENT_EQ_DEL):
-            if old in (r["equality_ids"] or []):
-                raise ValidationError(
-                    f"column {old} is referenced by live equality-delete files; "
-                    "compact them away first"
-                )
-        pieces, depth, cur = [], 0, ""
-        for ch in self.meta["schema_ddl"]:
-            if ch == "<":
-                depth += 1
-            elif ch == ">":
-                depth -= 1
-            if ch == "," and depth == 0:
+
+        def mut() -> None:
+            cols = self.user_columns()
+            if old not in cols:
+                raise ValidationError(f"no such column {old}")
+            if new in cols:
+                raise ValidationError(f"column {new} already exists")
+            part = self.meta.get("partition")
+            if part and old == part["field"]:
+                raise ValidationError("cannot rename the partition column")
+            for r in self.files(content=mf.CONTENT_EQ_DEL):
+                if old in (r["equality_ids"] or []):
+                    raise ValidationError(
+                        f"column {old} is referenced by live equality-delete files; "
+                        "compact them away first"
+                    )
+            pieces, depth, cur = [], 0, ""
+            for ch in self.meta["schema_ddl"]:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    pieces.append(cur)
+                    cur = ""
+                else:
+                    cur += ch
+            if cur.strip():
                 pieces.append(cur)
-                cur = ""
-            else:
-                cur += ch
-        if cur.strip():
-            pieces.append(cur)
-        out = []
-        for p in pieces:
-            name, rest = p.strip().split(None, 1)
-            out.append(f"{new} {rest}" if name.strip('`') == old else p.strip())
-        self.meta["schema_ddl"] = ", ".join(out)
-        self.meta["renames"] = (self.meta.get("renames") or []) + [
-            {"seq": self.sequence_number, "ord": self._next_evo_ord(), "from": old, "to": new}
-        ]
-        self._write_meta()
+            out = []
+            for p in pieces:
+                name, rest = p.strip().split(None, 1)
+                out.append(f"{new} {rest}" if name.strip("`") == old else p.strip())
+            self.meta["schema_ddl"] = ", ".join(out)
+            self.meta["renames"] = (self.meta.get("renames") or []) + [
+                {
+                    "seq": self.sequence_number,
+                    "ord": self._next_evo_ord(),
+                    "from": old,
+                    "to": new,
+                }
+            ]
+
+        self._locked_meta_write(mut)
 
     def _epoch_info(self, file_seq: int) -> tuple[dict, dict, dict]:
         """Schema-evolution view of a file committed at ``file_seq``:

@@ -19,26 +19,43 @@ from pyspark.sql import DataFrame
 from iceberg_compaction_spark.sources.table import Table
 
 
-def make_idempotent_batch_writer(table: Table, checkpoint_dir: str):
-    """foreachBatch callable committing each micro-batch exactly once:
-    (stream_key, batch_id) rides in the snapshot summary; batch ids at
-    or below the last committed one are replays and are skipped. The
-    last-committed id is read from snapshot history once (restart) and
-    tracked in memory afterwards."""
-    import hashlib
-    import os
+def _stream_guard(table: Table, stream_key: str):
+    """Exactly-once bookkeeping for a streaming sink: the atomic record
+    is the (stream_key, batch_id) snapshot summary, but summaries die
+    with snapshot expiry — so the last committed id is ALSO persisted
+    as a table property (``stream.<key>.last-batch-id``), which
+    run_maintenance/expire never touches. Restart reads the max of
+    both, so the dedup guarantee survives aggressive expiry; a crash
+    in the tiny window between commit and property write is still
+    covered by the (not-yet-expired) summary."""
+    prop_key = f"stream.{stream_key}.last-batch-id"
 
-    stream_key = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
-
-    def _last_committed() -> int:
-        last = -1
+    def last_committed() -> int:
+        last = int(table.get_property(prop_key, -1))
         for s in table.snapshots():
             sm = s.get("summary", {})
             if sm.get("stream_key") == stream_key:
                 last = max(last, int(sm.get("stream_batch_id", -1)))
         return last
 
-    state = {"last": _last_committed()}
+    def record(batch_id: int) -> None:
+        table.set_property(prop_key, int(batch_id))
+
+    return last_committed, record
+
+
+def make_idempotent_batch_writer(table: Table, checkpoint_dir: str):
+    """foreachBatch callable committing each micro-batch exactly once:
+    (stream_key, batch_id) rides in the snapshot summary AND a table
+    property (expiry-durable); batch ids at or below the last committed
+    one are replays and are skipped. The last-committed id is read once
+    (restart) and tracked in memory afterwards."""
+    import hashlib
+    import os
+
+    stream_key = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    last_committed, record = _stream_guard(table, stream_key)
+    state = {"last": last_committed()}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state["last"]:
@@ -51,6 +68,7 @@ def make_idempotent_batch_writer(table: Table, checkpoint_dir: str):
             added=infos,
             extra_summary={"stream_key": stream_key, "stream_batch_id": int(batch_id)},
         )
+        record(batch_id)
         state["last"] = batch_id
 
     return write_batch
@@ -89,11 +107,13 @@ def stream_upsert(
     """Streaming MERGE sink: every micro-batch upserts into the table
     via ``merge_into`` (equality-delete + new data files, ONE atomic
     commit per batch), keyed dedup inside the batch via ``precedence``.
-    Exactly-once by the same (stream_key, batch_id) snapshot-summary
-    guard as ``stream_append`` — a replayed batch after a failure
-    between commit and checkpoint is skipped, so an upsert never
-    double-applies. This is the CDC-consumer shape: readStream a
-    changelog, stream_upsert it into a serving table."""
+    Exactly-once by the same (stream_key, batch_id) guard as
+    ``stream_append`` — snapshot summary plus an expiry-durable table
+    property — so a replayed batch after a failure between commit and
+    checkpoint is skipped and an upsert never double-applies, even
+    when maintenance expired the carrying snapshot in between. This is
+    the CDC-consumer shape: readStream a changelog, stream_upsert it
+    into a serving table."""
     import hashlib
     import os
 
@@ -102,16 +122,8 @@ def stream_upsert(
     stream_key = hashlib.md5(
         (os.path.abspath(checkpoint_dir) + "|upsert").encode()
     ).hexdigest()[:12]
-
-    def _last_committed() -> int:
-        last = -1
-        for s in table.snapshots():
-            sm = s.get("summary", {})
-            if sm.get("stream_key") == stream_key:
-                last = max(last, int(sm.get("stream_batch_id", -1)))
-        return last
-
-    state = {"last": _last_committed()}
+    last_committed, record = _stream_guard(table, stream_key)
+    state = {"last": last_committed()}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state["last"]:
@@ -125,6 +137,7 @@ def stream_upsert(
             precedence=precedence,
             extra_summary={"stream_key": stream_key, "stream_batch_id": int(batch_id)},
         )
+        record(batch_id)
         state["last"] = batch_id
 
     writer = (
