@@ -4,11 +4,19 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 56 queries, 54 of them
+training-data pipeline operators — 63 queries, 61 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
 driver's rows-only check; their correctness is pinned by tests/.
+
+Ordering note: the driver records a bounded prefix of this dict, so
+the LEAST-driver-proven queries come FIRST — the round-5 additions
+(eq-delete consolidation, binned spec migration), then the tail that
+round 4's driver file never reached (simhash/text/bm25/winnow/
+embedding/ivf), then the rows-only pair, then everything else
+newest-first; the longest-green round-1/2 basics sit last (each still
+covered every round by tests/test_oracle_parity.py).
 """
 
 from __future__ import annotations
@@ -32,51 +40,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- engine core (SURVEY.md §2) ---
-        "mor_position_delete": Q.q_mor_position_delete,
-        "mor_equality_delete_seq": Q.q_mor_equality_delete_seq,
-        "small_files_selection": Q.q_small_files_selection,
-        "size_histogram": Q.q_size_histogram,
-        "ffd_binpack_window": Q.q_ffd_binpack_window,
-        "group_totals": Q.q_group_totals,
-        "parallelism_formula": Q.q_parallelism_formula,
-        "delete_file_dedup": Q.q_delete_file_dedup,
-        "commit_summary_rollup": Q.q_commit_summary_rollup,
-        "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
-        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
-        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
-        "salted_aggregation": Q.q_salted_aggregation,
-        "pricing_summary": Q.q_pricing_summary,
-        "delete_counts": Q.q_delete_counts,
-        "sessionization": Q.q_sessionization,
-        "hot_keys": Q.q_hot_keys,
-        "topk_per_conversation": Q.q_topk_per_conversation,
-        "corpus_filter": QP.q_corpus_filter,
-        "zorder_key": Q.q_zorder_key,
-        "hilbert_key": Q.q_hilbert_key,
+        # --- round 5: never driver-checked yet ---
+        "eq_delete_consolidation": QP.q_eq_delete_consolidation,
+        "spec_migration_scan": QP.q_spec_migration_scan,
+        "decontamination": QP.q_decontamination,
+        "stratified_sample": QP.q_stratified_sample,
+        # --- round 4 tail the driver's 50-row window missed ---
+        "bm25_relevance": QP.q_bm25_relevance,
+        "simhash_fingerprint": QP.q_simhash_fingerprint,
+        "text_analysis": QP.q_text_analysis,
+        "winnow_fingerprints": QP.q_winnow_fingerprints,
+        "embedding_topk": QP.q_embedding_topk,
+        "embedding_dedup": QP.q_embedding_dedup,
+        "ivf_ann_topk": QP.q_ivf_ann_topk,
+        # --- rows-only by design (no SQL oracle) ---
+        "lsh_ann_topk": QP.q_lsh_ann_topk,
+        "multimodal_features": QP.q_multimodal_features,
+        # --- flagship + engine core (SURVEY.md §2), newest-first ---
         "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
-        "pruned_range_scan": QP.q_pruned_range_scan,
-        "pruned_or_scan": QP.q_pruned_or_scan,
-        "bloom_point_lookup": QP.q_bloom_point_lookup,
-        "clustered_compaction_roundtrip": QP.q_clustered_compaction_roundtrip,
-        "delete_where_roundtrip": QP.q_delete_where_roundtrip,
-        "merge_into_roundtrip": QP.q_merge_into_roundtrip,
-        "time_travel_scan": QP.q_time_travel_scan,
+        "maintenance_lifecycle_scan": QP.q_maintenance_lifecycle_scan,
         "wap_publish_scan": QP.q_wap_publish_scan,
         "rollback_scan": QP.q_rollback_scan,
         "partition_evolution_scan": QP.q_partition_evolution_scan,
-        "maintenance_lifecycle_scan": QP.q_maintenance_lifecycle_scan,
-        "incremental_scan": QP.q_incremental_scan,
-        "changelog_scan": QP.q_changelog_scan,
-        "metadata_count": QP.q_metadata_count,
-        "metadata_count_with_deletes": QP.q_metadata_count_with_deletes,
-        "minmax_pushdown": QP.q_minmax_pushdown,
         "update_where_roundtrip": QP.q_update_where_roundtrip,
         "analyze_column_stats": QP.q_analyze_column_stats,
         "partition_counts": QP.q_partition_counts,
+        "metadata_count_with_deletes": QP.q_metadata_count_with_deletes,
+        "changelog_scan": QP.q_changelog_scan,
+        "incremental_scan": QP.q_incremental_scan,
+        "metadata_count": QP.q_metadata_count,
+        "minmax_pushdown": QP.q_minmax_pushdown,
         "schema_evolution_scan": QP.q_schema_evolution_scan,
         "rename_evolution_scan": QP.q_rename_evolution_scan,
         "type_evolution_scan": QP.q_type_evolution_scan,
+        "delete_where_roundtrip": QP.q_delete_where_roundtrip,
+        "merge_into_roundtrip": QP.q_merge_into_roundtrip,
+        "time_travel_scan": QP.q_time_travel_scan,
+        "clustered_compaction_roundtrip": QP.q_clustered_compaction_roundtrip,
+        "bloom_point_lookup": QP.q_bloom_point_lookup,
+        "pruned_range_scan": QP.q_pruned_range_scan,
+        "pruned_or_scan": QP.q_pruned_or_scan,
+        "mor_position_delete": Q.q_mor_position_delete,
+        "mor_equality_delete_seq": Q.q_mor_equality_delete_seq,
+        "small_files_selection": Q.q_small_files_selection,
+        "ffd_binpack_window": Q.q_ffd_binpack_window,
+        "delete_file_dedup": Q.q_delete_file_dedup,
+        "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
+        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
+        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
         "stream_sessionization": QP.q_stream_sessionization,
         # --- training-data pipeline ---
         "exact_dedup": QP.q_exact_dedup,
@@ -84,76 +95,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
         "neardup_clusters": QP.q_neardup_clusters,
         "minhash_band_signatures": QP.q_minhash_band_signatures,
-        "simhash_fingerprint": QP.q_simhash_fingerprint,
-        "text_analysis": QP.q_text_analysis,
-        "bm25_relevance": QP.q_bm25_relevance,
-        "winnow_fingerprints": QP.q_winnow_fingerprints,
-        "embedding_topk": QP.q_embedding_topk,
-        "embedding_dedup": QP.q_embedding_dedup,
-        "lsh_ann_topk": QP.q_lsh_ann_topk,
-        "ivf_ann_topk": QP.q_ivf_ann_topk,
-        "multimodal_features": QP.q_multimodal_features,
+        "zorder_key": Q.q_zorder_key,
+        "hilbert_key": Q.q_hilbert_key,
+        # --- longest-green basics (rounds 1-4 triple-green; still
+        # --- replica-checked every round even past the driver window) ---
+        "pricing_summary": Q.q_pricing_summary,
+        "sessionization": Q.q_sessionization,
+        "hot_keys": Q.q_hot_keys,
+        "salted_aggregation": Q.q_salted_aggregation,
+        "topk_per_conversation": Q.q_topk_per_conversation,
+        "corpus_filter": QP.q_corpus_filter,
+        "delete_counts": Q.q_delete_counts,
+        "commit_summary_rollup": Q.q_commit_summary_rollup,
+        "size_histogram": Q.q_size_histogram,
+        "group_totals": Q.q_group_totals,
+        "parallelism_formula": Q.q_parallelism_formula,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "mor_position_delete": Q.MOR_POSITION_DELETE_SQL,
-        "mor_equality_delete_seq": Q.MOR_EQUALITY_DELETE_SEQ_SQL,
-        "small_files_selection": Q.SMALL_FILES_SELECTION_SQL,
-        "size_histogram": Q.SIZE_HISTOGRAM_SQL,
-        "ffd_binpack_window": Q.FFD_BINPACK_WINDOW_SQL,
-        "group_totals": Q.GROUP_TOTALS_SQL,
-        "parallelism_formula": Q.PARALLELISM_FORMULA_SQL,
-        "delete_file_dedup": Q.DELETE_FILE_DEDUP_SQL,
-        "commit_summary_rollup": Q.COMMIT_SUMMARY_ROLLUP_SQL,
-        "snapshot_expiry_filter": Q.SNAPSHOT_EXPIRY_FILTER_SQL,
-        "orphan_files_antijoin": Q.ORPHAN_FILES_ANTIJOIN_SQL,
-        "merge_upsert_dedup": Q.MERGE_UPSERT_DEDUP_SQL,
-        "salted_aggregation": Q.SALTED_AGGREGATION_SQL,
-        "pricing_summary": Q.PRICING_SUMMARY_SQL,
-        "delete_counts": Q.DELETE_COUNTS_SQL,
-        "sessionization": Q.SESSIONIZATION_SQL,
-        "hot_keys": Q.HOT_KEYS_SQL,
-        "topk_per_conversation": Q.TOPK_PER_CONVERSATION_SQL,
-        "corpus_filter": QP.CORPUS_FILTER_SQL,
-        "zorder_key": Q.ZORDER_KEY_SQL,
-        "hilbert_key": Q.HILBERT_KEY_SQL,
+        "eq_delete_consolidation": QP.EQ_DELETE_CONSOLIDATION_SQL,
+        "spec_migration_scan": QP.SPEC_MIGRATION_SCAN_SQL,
+        "decontamination": QP.DECONTAMINATION_SQL,
+        "stratified_sample": QP.STRATIFIED_SAMPLE_SQL,
+        "bm25_relevance": QP.BM25_RELEVANCE_SQL,
+        "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
+        "text_analysis": QP.TEXT_ANALYSIS_SQL,
+        "winnow_fingerprints": QP.WINNOW_FINGERPRINTS_SQL,
+        "embedding_topk": QP.EMBEDDING_TOPK_SQL,
+        "embedding_dedup": QP.EMBEDDING_DEDUP_SQL,
+        "ivf_ann_topk": QP.IVF_ANN_TOPK_SQL,
+        # lsh_ann_topk, multimodal_features: rows-only by design
         "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,
-        "pruned_range_scan": QP.PRUNED_RANGE_SCAN_SQL,
-        "pruned_or_scan": QP.PRUNED_OR_SCAN_SQL,
-        "bloom_point_lookup": QP.BLOOM_POINT_LOOKUP_SQL,
-        "clustered_compaction_roundtrip": QP.CLUSTERED_COMPACTION_ROUNDTRIP_SQL,
-        "delete_where_roundtrip": QP.DELETE_WHERE_ROUNDTRIP_SQL,
-        "merge_into_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,
-        "time_travel_scan": QP.TIME_TRAVEL_SCAN_SQL,
+        "maintenance_lifecycle_scan": QP.MAINTENANCE_LIFECYCLE_SCAN_SQL,
         "wap_publish_scan": QP.WAP_PUBLISH_SCAN_SQL,
         "rollback_scan": QP.ROLLBACK_SCAN_SQL,
         "partition_evolution_scan": QP.PARTITION_EVOLUTION_SCAN_SQL,
-        "maintenance_lifecycle_scan": QP.MAINTENANCE_LIFECYCLE_SCAN_SQL,
-        "incremental_scan": QP.INCREMENTAL_SCAN_SQL,
-        "changelog_scan": QP.CHANGELOG_SCAN_SQL,
-        "metadata_count": QP.METADATA_COUNT_SQL,
-        "metadata_count_with_deletes": QP.METADATA_COUNT_WITH_DELETES_SQL,
-        "minmax_pushdown": QP.MINMAX_PUSHDOWN_SQL,
         "update_where_roundtrip": QP.UPDATE_WHERE_ROUNDTRIP_SQL,
         "analyze_column_stats": QP.ANALYZE_COLUMN_STATS_SQL,
         "partition_counts": QP.PARTITION_COUNTS_SQL,
+        "metadata_count_with_deletes": QP.METADATA_COUNT_WITH_DELETES_SQL,
+        "changelog_scan": QP.CHANGELOG_SCAN_SQL,
+        "incremental_scan": QP.INCREMENTAL_SCAN_SQL,
+        "metadata_count": QP.METADATA_COUNT_SQL,
+        "minmax_pushdown": QP.MINMAX_PUSHDOWN_SQL,
         "schema_evolution_scan": QP.SCHEMA_EVOLUTION_SCAN_SQL,
         "rename_evolution_scan": QP.RENAME_EVOLUTION_SCAN_SQL,
         "type_evolution_scan": QP.TYPE_EVOLUTION_SCAN_SQL,
+        "delete_where_roundtrip": QP.DELETE_WHERE_ROUNDTRIP_SQL,
+        "merge_into_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,
+        "time_travel_scan": QP.TIME_TRAVEL_SCAN_SQL,
+        "clustered_compaction_roundtrip": QP.CLUSTERED_COMPACTION_ROUNDTRIP_SQL,
+        "bloom_point_lookup": QP.BLOOM_POINT_LOOKUP_SQL,
+        "pruned_range_scan": QP.PRUNED_RANGE_SCAN_SQL,
+        "pruned_or_scan": QP.PRUNED_OR_SCAN_SQL,
+        "mor_position_delete": Q.MOR_POSITION_DELETE_SQL,
+        "mor_equality_delete_seq": Q.MOR_EQUALITY_DELETE_SEQ_SQL,
+        "small_files_selection": Q.SMALL_FILES_SELECTION_SQL,
+        "ffd_binpack_window": Q.FFD_BINPACK_WINDOW_SQL,
+        "delete_file_dedup": Q.DELETE_FILE_DEDUP_SQL,
+        "snapshot_expiry_filter": Q.SNAPSHOT_EXPIRY_FILTER_SQL,
+        "orphan_files_antijoin": Q.ORPHAN_FILES_ANTIJOIN_SQL,
+        "merge_upsert_dedup": Q.MERGE_UPSERT_DEDUP_SQL,
         "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
         "exact_dedup": QP.EXACT_DEDUP_SQL,
         "paragraph_dedup": QP.PARAGRAPH_DEDUP_SQL,
         "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,
         "neardup_clusters": QP.NEARDUP_CLUSTERS_SQL,
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,
-        "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
-        "text_analysis": QP.TEXT_ANALYSIS_SQL,
-        "bm25_relevance": QP.BM25_RELEVANCE_SQL,
-        "winnow_fingerprints": QP.WINNOW_FINGERPRINTS_SQL,
-        "embedding_topk": QP.EMBEDDING_TOPK_SQL,
-        "embedding_dedup": QP.EMBEDDING_DEDUP_SQL,
-        "ivf_ann_topk": QP.IVF_ANN_TOPK_SQL,
-        # lsh_ann_topk, multimodal_features: rows-only by design
+        "zorder_key": Q.ZORDER_KEY_SQL,
+        "hilbert_key": Q.HILBERT_KEY_SQL,
+        "pricing_summary": Q.PRICING_SUMMARY_SQL,
+        "sessionization": Q.SESSIONIZATION_SQL,
+        "hot_keys": Q.HOT_KEYS_SQL,
+        "salted_aggregation": Q.SALTED_AGGREGATION_SQL,
+        "topk_per_conversation": Q.TOPK_PER_CONVERSATION_SQL,
+        "corpus_filter": QP.CORPUS_FILTER_SQL,
+        "delete_counts": Q.DELETE_COUNTS_SQL,
+        "commit_summary_rollup": Q.COMMIT_SUMMARY_ROLLUP_SQL,
+        "size_histogram": Q.SIZE_HISTOGRAM_SQL,
+        "group_totals": Q.GROUP_TOTALS_SQL,
+        "parallelism_formula": Q.PARALLELISM_FORMULA_SQL,
     }

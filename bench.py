@@ -54,6 +54,7 @@ HEADLINE = [
     "pruned_range_scan",
     "bloom_point_lookup",
     "paragraph_dedup",
+    "decontamination",  # round 5: broadcast n-gram overlap vs benchmark set
 ]
 
 

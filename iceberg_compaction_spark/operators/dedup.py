@@ -656,3 +656,63 @@ def embedding_dedup(
     )
     victims = verified.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(victims, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------------
+# benchmark decontamination (round 5)
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents sharing ≥ ``min_hits`` distinct word
+    n-grams with ANY benchmark document — the eval-overlap filter every
+    large-scale training-data pipeline runs before training (the GPT-3
+    13-gram-style check). Returns (id, contaminated_ngrams) for flagged
+    docs; anti-join it against the corpus to drop them.
+
+    100-TB shape: both sides reuse the ``shingles`` machinery (distinct
+    n-grams per doc, all built-ins); the benchmark's distinct shingle
+    set is tiny relative to the corpus, so the overlap is a BROADCAST
+    equi-join against it (no shuffle of the corpus shingles beyond the
+    per-doc group-by), then one count per flagged doc. No cross
+    product, no UDFs."""
+    tr = shingles(train_df, id_col, text_col, n)
+    be = shingles(bench_df, id_col, text_col, n).select("shingle").distinct()
+    return (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_ngrams"))
+        .filter(F.col("contaminated_ngrams") >= min_hits)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for training-mix assembly:
+    keep a row iff the first 4 hex chars of md5(id) fall below the
+    stratum's threshold — reproducible across runs, engines and
+    cluster sizes (no RNG, no seed plumbing), and exactly expressible
+    in ANSI SQL for oracle checks. Fractions are quantized to 1/65536
+    granularity. Pure JVM expressions, zero shuffles — sampling
+    composes with the scan."""
+    def _thresh(frac: float) -> str:
+        q = max(0, min(65536, round(frac * 65536)))
+        # 'g' sorts after every hex digit, so a full fraction keeps all
+        # rows; '10000' would NOT (lexicographic compare against 4-char
+        # buckets: 'a…' > '10000')
+        return "g" if q >= 65536 else format(q, "04x")
+
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    expr = F.lit(_thresh(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == stratum, F.lit(_thresh(frac))).otherwise(expr)
+    return df.filter(bucket < expr)

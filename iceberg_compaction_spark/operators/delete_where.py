@@ -126,9 +126,12 @@ def delete_where(
     if full_drop_set and pos_paths:
         from iceberg_compaction_spark.sources import scan as scan_mod
 
+        drop_df = spark.createDataFrame(
+            [(p,) for p in sorted(full_drop_set)], f"{FILE_COL} string"
+        )
         refs = (
             scan_mod.read_position_deletes(spark, pos_paths)
-            .filter(F.col(FILE_COL).isin(list(full_drop_set)))
+            .join(F.broadcast(drop_df), on=FILE_COL, how="left_semi")
             .distinct()
             .groupBy(FILE_COL)
             .count()

@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_compaction_spark.errors import ValidationError
-from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL
+from iceberg_compaction_spark.operators.mor import FILE_COL, POS_COL, SEQ_COL
 from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources import scan as scan_mod
 from iceberg_compaction_spark.sources.table import Table
@@ -305,12 +305,16 @@ def rewrite_position_deletes(spark: SparkSession, table: Table) -> int:
     pos_rows = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
     if len(pos_rows) <= 1:
         return table.current_snapshot_id
-    live_paths = sorted(
-        r["path"] for r in man if r["content"] == mf.CONTENT_DATA
-    )
     refs = scan_mod.read_position_deletes(spark, [r["path"] for r in pos_rows])
-    live_df = spark.createDataFrame([(p,) for p in live_paths], f"{FILE_COL} string")
-    kept = refs.join(F.broadcast(live_df), on=FILE_COL, how="left_semi").distinct()
+    # live-data-path set straight from files_df — never materialized
+    # through the driver (manifest-bounded, but at 10^6 files that is
+    # ~10^8 bytes of Python strings the executor side already has)
+    live_df = (
+        table.files_df(spark)
+        .filter(F.col("content") == mf.CONTENT_DATA)
+        .select(F.col("path").alias(FILE_COL))
+    )
+    kept = refs.join(live_df, on=FILE_COL, how="left_semi").distinct()
     infos = table.write_delete_files(kept, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL)
     infos = [fi for fi in infos if fi.record_count > 0]
     # position deletes are seq-agnostic in the MoR join, but preserve
@@ -326,28 +330,189 @@ def rewrite_position_deletes(spark: SparkSession, table: Table) -> int:
     )
 
 
-def migrate_partition_spec(
-    spark: SparkSession, table: Table, max_records_per_file: int | None = None
-) -> int:
-    """Rewrite the WHOLE table under its CURRENT partition spec — the
-    one-shot migration after ``set_partition_expr`` changed the grain
-    (day → month, or un/re-partitioning). The MoR scan folds every
-    delete in; ``write_data_files`` recomputes the partition value per
-    row and keeps files partition-pure; one replace commit swaps the
-    entire layout atomically (readers see old or new, never a mix).
-    Cost: one full read + write — the same bytes a FULL compaction
-    moves, which is what a partition migration IS."""
+def rewrite_equality_deletes(spark: SparkSession, table: Table) -> int:
+    """Consolidate the table's equality-delete files — the eq twin of
+    ``rewrite_position_deletes`` and the remaining delete-maintenance
+    parity item vs the reference's per-group delete-file dedup
+    (``crates/planner/src/file_selection.rs:82-117``). N historical
+    MERGEs leave N eq-delete files that every overlapping scan must
+    chain through; this collapses each same-key-set group into one
+    consolidated file whose rows embed a per-row ``_seq`` = MAX source
+    seq for that key. Correctness: an entry at seq s kills data rows
+    with data_seq < s, so keeping max(s) per key preserves exactly the
+    union of kills. Dead entries — seq ≤ the minimum live data-file
+    seq, hence no live file old enough to be affected — are dropped on
+    the way (entirely-dead files are removed without a rewrite).
+    Different key sets consolidate independently (they chain in the
+    MoR plan). Returns the new snapshot id (current when there was
+    nothing to do)."""
     man = table.manifest()
-    if not man:
+    eq_rows = [r for r in man if r["content"] == mf.CONTENT_EQ_DEL]
+    if not eq_rows:
         return table.current_snapshot_id
-    df = table.scan(spark)  # user columns; _part recomputed at write
-    infos = table.write_data_files(df, max_records_per_file=max_records_per_file)
+    # empty data files (record_count 0 — e.g. empty shuffle partitions
+    # recorded by an append) have no rows a delete could kill, so they
+    # must not anchor the liveness floor
+    data_seqs = [
+        r["sequence_number"]
+        for r in man
+        if r["content"] == mf.CONTENT_DATA and r["record_count"] > 0
+    ]
+    min_data_seq = min(data_seqs) if data_seqs else None
+
+    groups: dict[tuple, list] = {}
+    for r in eq_rows:
+        groups.setdefault(tuple(r["equality_ids"] or ()), []).append(r)
+
+    added: list[mf.FileInfo] = []
+    removed: list[str] = []
+    for keys, rows in groups.items():
+        if not keys:
+            continue  # malformed entry: leave untouched
+        if min_data_seq is None:
+            live, dead = [], rows  # no data files: every delete is dead
+        else:
+            live = [r for r in rows if r["sequence_number"] > min_data_seq]
+            dead = [r for r in rows if r["sequence_number"] <= min_data_seq]
+        if len(live) <= 1:
+            removed += [r["path"] for r in dead]  # lone live file stays as-is
+            continue
+        removed += [r["path"] for r in rows]
+        df = scan_mod.read_equality_deletes(
+            spark, [(r["path"], r["sequence_number"]) for r in live], list(keys)
+        )
+        consolidated = (
+            df.groupBy(*keys)
+            .agg(F.max(SEQ_COL).alias(SEQ_COL))
+            # re-consolidation of mixed-row-seq files: within-file dead
+            # entries drop here (first pass is a no-op: live-file rows
+            # all carry their file's seq > min_data_seq)
+            .filter(F.col(SEQ_COL) > F.lit(min_data_seq))
+        )
+        infos = table.write_delete_files(
+            consolidated, list(keys) + [SEQ_COL], mf.CONTENT_EQ_DEL, equality_ids=keys
+        )
+        infos = [fi for fi in infos if fi.record_count > 0]
+        max_seq = max(r["sequence_number"] for r in live)
+        for fi in infos:
+            fi.sequence_number = max_seq
+        added += infos
+
+    if not removed:
+        return table.current_snapshot_id
     return table.commit(
-        "replace",
-        added=infos,
-        removed_paths=[r["path"] for r in man],
-        extra_summary={"partition_migration": True},
+        "maintenance",
+        added=added,
+        removed_paths=removed,
+        extra_summary={"rewrote_eq_delete_files": len(removed)},
     )
+
+
+def migrate_partition_spec(
+    spark: SparkSession,
+    table: Table,
+    max_records_per_file: int | None = None,
+    group_target_size_bytes: int | None = None,
+    run_id: str | None = None,
+) -> int:
+    """Migrate the table to its CURRENT partition spec — binned,
+    per-bin committed, resumable (round 5; previously one monolithic
+    scan→write→commit whose crash restarted the whole job).
+
+    Selection: only data files with ``sequence_number ≤
+    partition_spec_floor`` — the seq recorded by ``set_partition_expr``
+    — need rewriting, because every later write already derived its
+    partition from the current expr. Outputs commit at higher seqs, so
+    an interrupted run re-invoked (any ``run_id``) re-plans from the
+    current manifest and finds exactly the not-yet-migrated files:
+    resume at bin granularity for free, zero re-work. Each bin is a
+    size-targeted FFD group rewritten via a scoped MoR scan (deletes
+    fold in) + ``write_data_files`` (recomputes the partition value
+    per row, keeps files partition-pure even when the new grain is
+    FINER — one old file can fan out to many new partitions) and lands
+    as its own atomic replace commit; per-bin lineage rows (input
+    files → output files, rows, bytes) go to the same checkpoint table
+    compaction uses. Mixed layouts mid-run are legal (readers see each
+    commit atomically; planning and pruning are exact across grains —
+    see ``set_partition_expr``). Old delete files left dangling by the
+    migration are cleaned at the end."""
+    import uuid as _uuid
+
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    floor = table.meta.get("partition_spec_floor")
+    if floor is None:
+        # legacy table (spec changed before the floor existed, or
+        # never changed): everything current predates "now"
+        floor = table.sequence_number
+        table._locked_meta_write(
+            lambda: table.meta.__setitem__("partition_spec_floor", floor)
+        )
+    man = table.manifest()
+    todo = [
+        r
+        for r in man
+        if r["content"] == mf.CONTENT_DATA and r["sequence_number"] <= floor
+    ]
+    if not todo:
+        return table.current_snapshot_id
+
+    target = group_target_size_bytes or CompactionConfig().group_target_size_bytes
+    # FFD into size-targeted bins (driver-side over manifest rows —
+    # the same scale envelope as compaction's plan collect)
+    bins: list[list[dict]] = []
+    sizes: list[int] = []
+    for r in sorted(todo, key=lambda x: -x["size_bytes"]):
+        for i, s in enumerate(sizes):
+            if s + r["size_bytes"] <= target:
+                bins[i].append(r)
+                sizes[i] += r["size_bytes"]
+                break
+        else:
+            bins.append([r])
+            sizes.append(r["size_bytes"])
+
+    run_id = run_id or _uuid.uuid4().hex[:12]
+    runner = CompactionRunner(spark, table, CompactionConfig())  # checkpoint I/O
+    sid = table.current_snapshot_id
+    for i, grp in enumerate(bins):
+        paths = sorted(r["path"] for r in grp)
+        t0 = time.time()
+        df = table.scan(spark, paths=paths)  # user cols; _part recomputed at write
+        infos = table.write_data_files(
+            df,
+            max_records_per_file=max_records_per_file,
+            subdir=f"specmig-{run_id}-{i}",
+        )
+        sid = table.commit(
+            "replace",
+            added=infos,
+            removed_paths=paths,
+            extra_summary={"partition_migration": True, "migration_bin": i},
+        )
+        runner._write_checkpoint_row(
+            run_id,
+            {
+                "run_id": run_id,
+                "snapshot_id": sid,
+                "bin": f"specmig#{i}",
+                "partition": "",
+                "status": "done",
+                "input_paths": paths,
+                "output_paths": [fi.path for fi in infos],
+                "input_bytes": sum(r["size_bytes"] for r in grp),
+                "output_bytes": sum(fi.size_bytes for fi in infos),
+                "input_files": len(paths),
+                "output_files": len(infos),
+                "rows_processed": sum(fi.record_count for fi in infos),
+                "execution_time_ms": int((time.time() - t0) * 1000),
+                "started_ms": int(t0 * 1000),
+                "finished_ms": int(time.time() * 1000),
+            },
+        )
+    after = clean_dangling_deletes(spark, table)
+    return after if after is not None else sid
 
 
 def run_maintenance(
@@ -390,6 +555,19 @@ def run_maintenance(
     before = table.current_snapshot_id
     after = clean_dangling_deletes(spark, table)
     out["dangling_deletes_commit"] = after if after != before else None
+
+    # consolidate the delete files compaction didn't fold away:
+    # content-invariant, so the post-maintenance scan is unchanged —
+    # only the number of delete files every later MoR scan must chain
+    # through shrinks
+    if len(table.files(content=mf.CONTENT_POS_DEL)) > 1:
+        before = table.current_snapshot_id
+        after = rewrite_position_deletes(spark, table)
+        out["pos_delete_consolidation_commit"] = after if after != before else None
+    if len(table.files(content=mf.CONTENT_EQ_DEL)) > 1:
+        before = table.current_snapshot_id
+        after = rewrite_equality_deletes(spark, table)
+        out["eq_delete_consolidation_commit"] = after if after != before else None
 
     exp = expire_snapshots(
         table, older_than_ms=expire_older_than_ms, retain_last=retain_last

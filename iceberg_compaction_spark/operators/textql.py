@@ -176,8 +176,8 @@ def bm25_scores(
     documents about a topic from a raw corpus. Returns (id, bm25).
 
     Plan: one explode to (doc, term) with per-doc term frequencies and
-    lengths (map-side combine), corpus df/avgdl as two scalar-sized
-    aggregates joined back broadcast, score as a pure JVM expression —
+    lengths (map-side combine), corpus count + avgdl as ONE scalar
+    aggregate round-trip, score as a pure JVM expression —
     scan-dominated, one shuffle on the (doc, term) group-by, no UDFs.
     Documents sharing no term score 0 (kept: the caller thresholds)."""
     from pyspark.sql import functions as F
@@ -190,10 +190,17 @@ def bm25_scores(
     base = df.select(F.col(id_col), toks.alias("_toks")).select(
         id_col, F.size("_toks").alias("_dl"), F.explode("_toks").alias("_term")
     )
-    n_docs = df.count()
-    avgdl = base.groupBy(id_col).agg(F.max("_dl").alias("_dl")).agg(
-        F.avg("_dl")
-    ).collect()[0][0]
+    # both corpus scalars in ONE driver round-trip and one narrow scan:
+    # n_docs counts every row (null-text docs included, scoring 0
+    # downstream), avgdl averages token counts (size of the split
+    # array == exploded token count; null arrays are ignored by avg,
+    # matching the oracle's per-tokenized-doc mean)
+    stats = (
+        df.select(F.size(toks).alias("_dl"))
+        .agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = stats["_n"], stats["_avgdl"]
     tf = (
         base.filter(F.col("_term").isin(terms))
         .groupBy(id_col, "_term")

@@ -469,12 +469,26 @@ class CompactionRunner:
                     F.col(FILE_COL).alias("ref"),
                     scan_mod.norm_file_path(F.input_file_name()).alias("delfile"),
                 )
-                rem_df = self.spark.createDataFrame(
-                    [(p,) for p in remaining_paths], "ref string"
+                # surviving-data-path set built FROM files_df, never
+                # materialized through the driver (at 10^6 files the
+                # python-list route ships ~10^8 bytes of strings);
+                # only the rewritten set — bin-bounded — rides inline
+                rem_df = (
+                    self.table.files_df(self.spark, snapshot_id)
+                    .filter(F.col("content") == mf.CONTENT_DATA)
+                    .select(F.col("path").alias("ref"))
                 )
+                if rewritten:
+                    # as a broadcast anti-join, not isin(): a FULL run
+                    # rewrites every file and a 10^5-literal expression
+                    # tree would choke Catalyst; data ships once
+                    rw = self.spark.createDataFrame(
+                        [(p,) for p in sorted(rewritten)], "ref string"
+                    )
+                    rem_df = rem_df.join(F.broadcast(rw), on="ref", how="left_anti")
                 alive = {
                     r["delfile"]
-                    for r in refs.join(F.broadcast(rem_df), on="ref", how="left_semi")
+                    for r in refs.join(rem_df, on="ref", how="left_semi")
                     .select("delfile")
                     .distinct()
                     .collect()

@@ -73,6 +73,62 @@ WHERE c / (sa.sz + sb.sz - c) >= 0.2
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: benchmark decontamination — flag corpus documents
+    sharing any distinct 4-gram with the held-out 'benchmark' slice
+    (doc_id % 20 = 0). Broadcast equi-join against the benchmark
+    shingle set; no cross product."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, n=4).select("doc_id", "contaminated_ngrams")
+
+
+DECONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 3, 1))) AS u(i)),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+SELECT doc_id, count(*) AS contaminated_ngrams
+FROM sh JOIN bsh USING (shingle)
+GROUP BY doc_id
+HAVING count(*) >= 1
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: deterministic hash-based stratified sampling — the
+    training-mix assembly primitive. Per-source keep fractions ride an
+    md5-prefix threshold: reproducible across engines and cluster
+    sizes, zero shuffles, exactly oracle-expressible."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        strata_col="source",
+        default_fraction=0.125,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE source WHEN 'src0' THEN 'g'
+                  WHEN 'src1' THEN '8000'
+                  WHEN 'src2' THEN '4000'
+                  WHEN 'src3' THEN '0000'
+                  ELSE '2000' END
+"""
+
+
 def q_minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH band signatures (salted-md5 min per hash slot,
     4 bands × 2 rows)."""
@@ -1328,6 +1384,128 @@ scored AS (
 )
 SELECT d.doc_id, round(coalesce(s.bm25, 0.0), 4) AS bm25_r
 FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_eq_delete_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: equality-delete consolidation (the eq twin of
+    rewrite_position_deletes; reference dedups delete files per group,
+    file_selection.rs:82-117). Two MERGEs leave two eq-delete files
+    with overlapping keys at different seqs; consolidation collapses
+    them into ONE file carrying per-row max seq — self-gated on the
+    file count — and the post-consolidation MoR scan must equal the
+    plain-SQL two-layer upsert (per-key seq semantics preserved)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.maintenance import (
+        rewrite_equality_deletes,
+    )
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_eqc_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.repartition(8, F.xxhash64("conv_id", "turn_idx")))
+        u1 = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") % 7 == 3)
+            .withColumn("text", F.concat(F.lit("U1|"), F.col("text")))
+        )
+        merge_into(table, u1, keys=["conv_id", "turn_idx"])
+        u2 = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") % 11 == 4)
+            .withColumn("text", F.concat(F.lit("U2|"), F.col("text")))
+        )
+        merge_into(table, u2, keys=["conv_id", "turn_idx"])
+        if len(table.files(content=mf.CONTENT_EQ_DEL)) < 2:
+            raise AssertionError("expected two eq-delete files pre-consolidation")
+        rewrite_equality_deletes(spark, table)
+        if len(table.files(content=mf.CONTENT_EQ_DEL)) != 1:
+            raise AssertionError("consolidation did not leave exactly one eq file")
+        out = table.scan(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+EQ_DELETE_CONSOLIDATION_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 11 = 4 AND turn_idx % 7 = 3 THEN 'U2|U1|' || text
+            WHEN turn_idx % 11 = 4 THEN 'U2|' || text
+            WHEN turn_idx % 7 = 3 THEN 'U1|' || text
+            ELSE text END AS text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base
+"""
+
+
+def q_spec_migration_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: binned partition-spec migration — day-grain table with
+    row-level deletes evolves to month grain; ``migrate_partition_spec``
+    rewrites it in several per-bin replace commits (self-gated: >1
+    migration commit, per-bin lineage rows in the checkpoint table,
+    every surviving file month-pure, deletes folded away) and the
+    post-migration scan must equal the plain filtered relation."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.maintenance import migrate_partition_spec
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_smig_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base, max_records_per_file=2000)
+        delete_where(spark, table, "turn_idx % 9 = 5")
+        table.set_partition_expr("date_format(ts, 'yyyy-MM')")
+        total = sum(r["size_bytes"] for r in table.files(content=mf.CONTENT_DATA))
+        migrate_partition_spec(
+            spark, table, group_target_size_bytes=max(1, total // 3), run_id="smig"
+        )
+        files = table.files(content=mf.CONTENT_DATA)
+        if not files or any(len(r["partition"]) != 7 for r in files):
+            raise AssertionError("migration left non-month-grain files")
+        if table.files(content=mf.CONTENT_POS_DEL):
+            raise AssertionError("deletes survived migration")
+        ckpt = os.path.join(loc, "meta", "checkpoints", "run-smig")
+        n_bins = len([f for f in os.listdir(ckpt) if f.endswith(".parquet")])
+        if n_bins < 2:
+            raise AssertionError(f"expected a multi-bin migration, got {n_bins}")
+        out = table.scan(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+SPEC_MIGRATION_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE turn_idx % 9 <> 5
 """
 
 

@@ -254,6 +254,13 @@ class Table:
                 self.meta["partition"] = {**self.meta["partition"], "expr": expr}
             else:
                 self.meta["partition"] = {"field": PART_COL, "expr": expr}
+            # migration bookkeeping: data files committed at seq ≤ this
+            # floor predate the new spec; files written afterwards
+            # always derive their partition from the CURRENT expr, so
+            # ``migrate_partition_spec`` selects exactly the old-grain
+            # files and its own outputs never re-plan (idempotent,
+            # bin-granular resume)
+            self.meta["partition_spec_floor"] = self.sequence_number
 
         self._locked_meta_write(mut)
 

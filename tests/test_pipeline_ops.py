@@ -379,3 +379,59 @@ def test_bm25_scores_basic(spark):
     assert out[2] > 0  # merge is rarer → high idf
     # rarity beats repetition here: 'merge' appears in 1/4 docs
     assert out[2] > out[4]
+
+
+# ----------------------------------------------------------------------
+# round 5: decontamination + deterministic stratified sampling
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from iceberg_compaction_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+            (3, "quick brown fox jumps high above"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps in the benchmark")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["contaminated_ngrams"] for r in
+           decontaminate(train, bench, n=4).collect()}
+    # docs 1 and 3 share the 4-gram "quick brown fox jumps"; doc 2 shares none
+    assert 1 in out and 3 in out and 2 not in out
+    # min_hits raises the bar
+    strict = decontaminate(train, bench, n=4, min_hits=3).collect()
+    assert all(r["contaminated_ngrams"] >= 3 for r in strict)
+
+
+def test_decontaminate_empty_benchmark_flags_nothing(spark):
+    from iceberg_compaction_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame([(1, "some text here")], "doc_id bigint, text string")
+    bench = spark.createDataFrame([], "doc_id bigint, text string")
+    assert decontaminate(train, bench).count() == 0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from iceberg_compaction_spark.operators.dedup import stratified_sample
+
+    df = spark.range(4000).selectExpr(
+        "id as doc_id", "concat('s', id % 4) as source"
+    )
+    frac = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    a = sorted(r["doc_id"] for r in stratified_sample(df, frac, default_fraction=0.25).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, frac, default_fraction=0.25).collect())
+    assert a == b  # no RNG anywhere
+    by_src = {
+        s: stratified_sample(df, frac, default_fraction=0.25)
+        .filter(f"source = '{s}'")
+        .count()
+        for s in ("s0", "s1", "s2", "s3")
+    }
+    assert by_src["s0"] == 1000  # fraction 1.0 keeps everything
+    assert by_src["s2"] == 0  # fraction 0.0 keeps nothing
+    assert 380 <= by_src["s1"] <= 620  # ~0.5 of 1000
+    assert 160 <= by_src["s3"] <= 340  # default 0.25 of 1000
