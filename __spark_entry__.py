@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 63 queries, 61 of them
+training-data pipeline operators — 66 queries, 64 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_migration_scan": QP.q_spec_migration_scan,
         "decontamination": QP.q_decontamination,
         "stratified_sample": QP.q_stratified_sample,
+        "repetition_metrics": QP.q_repetition_metrics,
+        "conversation_stats": QP.q_conversation_stats,
+        "merge_cow_roundtrip": QP.q_merge_cow_roundtrip,
         # --- round 4 tail the driver's 50-row window missed ---
         "bm25_relevance": QP.q_bm25_relevance,
         "simhash_fingerprint": QP.q_simhash_fingerprint,
@@ -87,14 +90,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_file_dedup": Q.q_delete_file_dedup,
         "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
         "orphan_files_antijoin": Q.q_orphan_files_antijoin,
-        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
         "stream_sessionization": QP.q_stream_sessionization,
         # --- training-data pipeline ---
-        "exact_dedup": QP.q_exact_dedup,
-        "paragraph_dedup": QP.q_paragraph_dedup,
-        "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
         "neardup_clusters": QP.q_neardup_clusters,
         "minhash_band_signatures": QP.q_minhash_band_signatures,
+        "paragraph_dedup": QP.q_paragraph_dedup,
+        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
+        "exact_dedup": QP.q_exact_dedup,
+        "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
         "zorder_key": Q.q_zorder_key,
         "hilbert_key": Q.q_hilbert_key,
         # --- longest-green basics (rounds 1-4 triple-green; still
@@ -119,6 +122,11 @@ def oracle_sql() -> dict[str, str]:
         "spec_migration_scan": QP.SPEC_MIGRATION_SCAN_SQL,
         "decontamination": QP.DECONTAMINATION_SQL,
         "stratified_sample": QP.STRATIFIED_SAMPLE_SQL,
+        "repetition_metrics": QP.REPETITION_METRICS_SQL,
+        "conversation_stats": QP.CONVERSATION_STATS_SQL,
+        # CoW merge produces the IDENTICAL relation as the MoR twin —
+        # same oracle by design
+        "merge_cow_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,
         "bm25_relevance": QP.BM25_RELEVANCE_SQL,
         "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
         "text_analysis": QP.TEXT_ANALYSIS_SQL,
@@ -157,13 +165,13 @@ def oracle_sql() -> dict[str, str]:
         "delete_file_dedup": Q.DELETE_FILE_DEDUP_SQL,
         "snapshot_expiry_filter": Q.SNAPSHOT_EXPIRY_FILTER_SQL,
         "orphan_files_antijoin": Q.ORPHAN_FILES_ANTIJOIN_SQL,
-        "merge_upsert_dedup": Q.MERGE_UPSERT_DEDUP_SQL,
         "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
-        "exact_dedup": QP.EXACT_DEDUP_SQL,
-        "paragraph_dedup": QP.PARAGRAPH_DEDUP_SQL,
-        "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,
         "neardup_clusters": QP.NEARDUP_CLUSTERS_SQL,
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,
+        "paragraph_dedup": QP.PARAGRAPH_DEDUP_SQL,
+        "merge_upsert_dedup": Q.MERGE_UPSERT_DEDUP_SQL,
+        "exact_dedup": QP.EXACT_DEDUP_SQL,
+        "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,
         "zorder_key": Q.ZORDER_KEY_SQL,
         "hilbert_key": Q.HILBERT_KEY_SQL,
         "pricing_summary": Q.PRICING_SUMMARY_SQL,

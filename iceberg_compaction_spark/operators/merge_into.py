@@ -90,11 +90,24 @@ def merge_into(
     delete_matched_only: bool = False,
     scope_deletes: bool = True,
     extra_summary: dict | None = None,
+    mode: str | None = None,
 ) -> int:
     """Upsert ``source`` into ``table`` keyed by ``keys``. Returns the
     new snapshot id. One commit carries both the equality-delete file
     and the new data files (atomic upsert). MERGE costs O(source), not
     O(table) — the target is never scanned, only its manifest bounds.
+
+    ``mode`` (Iceberg's ``write.merge.mode``; ``None`` reads the table
+    property, default 'mor'):
+      * ``"mor"`` — equality-delete + new data files (this docstring's
+        default path); cheap writes, reads pay the anti-join until
+        compaction folds it;
+      * ``"cow"`` — candidate files (key bounds overlapping the source
+        key range) are REWRITTEN without the matched rows and replaced
+        together with the new source data files in one commit; no
+        delete files exist afterwards. Write amplification = candidate
+        bytes; a source disjoint from every file's key range rewrites
+        nothing and degrades to a pure append.
 
     ``scope_deletes`` (default): delete rows are written only for
     source keys whose first key column falls inside some live data
@@ -107,7 +120,13 @@ def merge_into(
     ``delete_matched_only=True`` turns this into MERGE ... WHEN MATCHED
     THEN DELETE (no inserts) — the source rows are pure key tombstones.
     """
+    if mode is None:
+        mode = table.get_property("write.merge.mode", "mor")
+    if mode not in ("mor", "cow"):
+        raise ValueError("mode must be 'mor' or 'cow'")
     src = dedup_source(source, keys, precedence)
+    if mode == "cow":
+        return _merge_cow(table, src, keys, delete_matched_only, extra_summary)
 
     # 1. equality-delete file for source keys that may exist in the
     #    target (manifest-bounds semi-scope; unmatched survivors are
@@ -130,6 +149,80 @@ def merge_into(
     return table.commit(
         "merge",
         added=list(infos_del) + list(infos_data),
+        extra_summary=extra_summary,
+    )
+
+
+def _merge_cow(
+    table: Table,
+    src: DataFrame,
+    keys: Sequence[str],
+    delete_matched_only: bool,
+    extra_summary: dict | None,
+) -> int:
+    """Copy-on-write MERGE: rewrite may-match files without the matched
+    rows; land the rewrites + the new source data files in ONE replace
+    commit. Candidates are chosen by first-key manifest bounds against
+    the source's key intervals (metadata-only, like the MoR scoping
+    path); the rewrite reads candidates through the MoR-resolved scan,
+    so rows an existing delete already killed never resurrect — and
+    those tombstones fold into the rewrite exactly as compaction would
+    fold them."""
+    data_rows = table.files(content=mf.CONTENT_DATA)
+    key0 = keys[0]
+    # source key range (two scalars; one narrow agg)
+    rng = src.agg(
+        F.min(key0).alias("lo"), F.max(key0).alias("hi")
+    ).collect()[0]
+    src_lo, src_hi = rng["lo"], rng["hi"]
+
+    def _overlaps(r: dict) -> bool:
+        if src_lo is None:  # empty source handled below
+            return False
+        try:
+            st = json.loads(r.get("stats_json") or "{}").get(key0)
+        except ValueError:
+            return True  # unknown bounds: conservative candidate
+        if not st or st.get("min") is None or st.get("max") is None:
+            return True
+        return not (st["max"] < src_lo or st["min"] > src_hi)
+
+    candidates = [r["path"] for r in data_rows if _overlaps(r)]
+    added: list = []
+    removed: list[str] = []
+    if candidates:
+        scanned = table.scan(src.sparkSession, paths=candidates).persist()
+        try:
+            key_df = src.select(*keys).distinct()
+            cond = None
+            for k in keys:
+                c = F.col(f"d.{k}").eqNullSafe(F.col(f"s.{k}"))
+                cond = c if cond is None else (cond & c)
+            matched = (
+                scanned.alias("d")
+                .join(key_df.alias("s"), on=cond, how="left_semi")
+                .count()
+            )
+            if matched > 0:
+                survivors = scanned.alias("d").join(
+                    key_df.alias("s"), on=cond, how="left_anti"
+                )
+                added += [
+                    fi
+                    for fi in table.write_data_files(survivors)
+                    if fi.record_count > 0
+                ]
+                removed += candidates
+        finally:
+            scanned.unpersist()
+    if not delete_matched_only:
+        added += [fi for fi in table.write_data_files(src) if fi.record_count > 0]
+    if not added and not removed:
+        return table.current_snapshot_id  # empty no-op merge
+    return table.commit(
+        "merge",
+        added=added,
+        removed_paths=removed,
         extra_summary=extra_summary,
     )
 

@@ -227,3 +227,62 @@ def bm25_scores(
         .join(scored, id_col, "left")
         .select(id_col, F.coalesce("bm25", F.lit(0.0)).alias("bm25"))
     )
+
+
+def repetition_metrics(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), the
+    curation signals that catch boilerplate/spam before training:
+      * ``top2_frac`` — share of the document's word 2-grams taken by
+        its single most frequent 2-gram;
+      * ``dup5_frac`` — share of word 5-grams that are duplicates
+        (1 − distinct/total).
+    Documents too short for an n-gram score 0. Pure built-ins: one
+    tokenize, two (doc, gram) explode→group-bys on uniform keys — the
+    same bounded-shuffle shape as shingling, no UDFs."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
+        r"\s+",
+    )
+
+    def grams(n: int):
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    g2 = (
+        base.select(id_col, F.explode(grams(2)).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg((F.max("_c") / F.sum("_c")).alias("top2_frac"))
+    )
+    g5 = (
+        base.select(id_col, F.explode(grams(5)).alias("_g"))
+        .groupBy(id_col)
+        .agg(
+            (
+                (F.count("*") - F.count_distinct(F.col("_g"))) / F.count("*")
+            ).alias("dup5_frac")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(g2, id_col, "left")
+        .join(g5, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
+        )
+    )

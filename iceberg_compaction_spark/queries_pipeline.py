@@ -129,6 +129,46 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: Gopher-style repetition filters — top-2-gram share and
+    duplicate-5-gram fraction per document (boilerplate/spam gate)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.textql import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_metrics(docs)
+    return out.select(
+        "doc_id",
+        F.round("top2_frac", 4).alias("top2_r"),
+        F.round("dup5_frac", 4).alias("dup5_r"),
+    )
+
+
+REPETITION_METRICS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+g2 AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top2 FROM g2c GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5),
+m5 AS (
+  SELECT doc_id, (count(*) - count(DISTINCT g))::DOUBLE / count(*) AS dup5
+  FROM g5 GROUP BY doc_id)
+SELECT d.doc_id,
+       round(coalesce(m2.top2, 0.0), 4) AS top2_r,
+       round(coalesce(m5.dup5, 0.0), 4) AS dup5_r
+FROM documents d
+LEFT JOIN m2 USING (doc_id)
+LEFT JOIN m5 USING (doc_id)
+"""
+
+
 def q_minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH band signatures (salted-md5 min per hash slot,
     4 bands × 2 rows)."""
@@ -625,6 +665,56 @@ UNION ALL
 SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM src
 """
+
+
+def q_merge_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: the SAME upsert as merge_into_roundtrip but in
+    copy-on-write mode (``write.merge.mode=cow``): may-match files are
+    rewritten without the matched rows and replaced with the source
+    data files in one commit — self-gated on zero delete files
+    surviving — and the scan must equal the identical plain-SQL upsert
+    relation the MoR twin checks."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_mcow_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        table.set_property("write.merge.mode", "cow")
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.repartition(8, F.xxhash64("conv_id", "turn_idx")))
+        updates = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") % 10 == 5)
+            .withColumn("text", F.concat(F.lit("UPD|"), F.col("text")))
+        )
+        inserts = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") == 0)
+            .withColumn("turn_idx", F.lit(-1).cast("int"))
+            .withColumn("text", F.lit("INSERTED"))
+        )
+        merge_into(table, updates.unionByName(inserts), keys=["conv_id", "turn_idx"])
+        if table.files(content=mf.CONTENT_EQ_DEL) or table.files(
+            content=mf.CONTENT_POS_DEL
+        ):
+            raise AssertionError("CoW merge left delete files")
+        out = table.scan(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def q_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,6 +1474,42 @@ scored AS (
 )
 SELECT d.doc_id, round(coalesce(s.bm25, 0.0), 4) AS bm25_r
 FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: per-conversation curation metrics over the transcripts
+    relation — turn count, role diversity, tool-call turns, mean turn
+    chars, adjacent-role repeats (alternation violations)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.transcripts import conversation_stats
+
+    tr = build_transcripts_from_events(spark, sf_dir)
+    out = conversation_stats(tr)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_roles",
+        "tool_turns",
+        F.round("avg_chars", 4).alias("avg_chars_r"),
+        "role_repeats",
+    )
+
+
+CONVERSATION_STATS_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL}),
+lagged AS (
+  SELECT conv_id, role, text, tool,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC) AS prev_role
+  FROM base)
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(DISTINCT role) AS n_roles,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns,
+       round(avg(length(text)), 4) AS avg_chars_r,
+       CAST(coalesce(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END), 0) AS BIGINT) AS role_repeats
+FROM lagged
+GROUP BY conv_id
 """
 
 

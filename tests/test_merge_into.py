@@ -88,3 +88,103 @@ def test_merge_then_compaction_folds_deletes(spark, tmp_warehouse):
     assert all(r["content"] == "data" for r in t.manifest())
     after = t.scan(spark).orderBy(*KEYS).collect()
     assert after == before
+
+
+# ----------------------------------------------------------------------
+# round 5: copy-on-write MERGE (write.merge.mode parity with DELETE/UPDATE)
+def test_merge_cow_equals_mor_result(spark, tmp_warehouse):
+    import os
+
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.table import Table
+
+    def build(loc):
+        t = Table.create(loc, "k bigint, v string")
+        t.append_dataframe(
+            spark.createDataFrame(
+                [(i, f"old{i}") for i in range(100)], "k bigint, v string"
+            ),
+            max_records_per_file=25,
+        )
+        return t
+
+    src = spark.createDataFrame(
+        [(k, f"new{k}") for k in (3, 7, 150)], "k bigint, v string"
+    )
+    t_mor = build(os.path.join(tmp_warehouse, "mor"))
+    merge_into(t_mor, src, keys=["k"], mode="mor")
+    t_cow = build(os.path.join(tmp_warehouse, "cow"))
+    merge_into(t_cow, src, keys=["k"], mode="cow")
+
+    mor_rows = sorted(tuple(r) for r in t_mor.scan(spark).collect())
+    cow_rows = sorted(tuple(r) for r in t_cow.scan(spark).collect())
+    assert mor_rows == cow_rows
+    assert ("new150", ) not in []  # insert present in both
+    assert (150, "new150") in cow_rows and (3, "new3") in cow_rows
+    # CoW leaves NO delete files; MoR leaves eq deletes
+    assert t_cow.files(content=mf.CONTENT_EQ_DEL) == []
+    assert len(t_mor.files(content=mf.CONTENT_EQ_DEL)) >= 1
+
+
+def test_merge_cow_disjoint_source_is_pure_append(spark, tmp_warehouse):
+    import os
+
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.table import Table
+
+    loc = os.path.join(tmp_warehouse, "cowapp")
+    t = Table.create(loc, "k bigint, v string")
+    t.append_dataframe(
+        spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k bigint, v string")
+        .coalesce(1)
+    )
+    before_paths = {r["path"] for r in t.files(content=mf.CONTENT_DATA)}
+    src = spark.createDataFrame([(1000, "x"), (1001, "y")], "k bigint, v string")
+    merge_into(t, src, keys=["k"], mode="cow")
+    after = t.files(content=mf.CONTENT_DATA)
+    # original file untouched (bounds disjoint → no rewrite)
+    assert before_paths <= {r["path"] for r in after}
+    assert t.scan(spark).count() == 52
+
+
+def test_merge_mode_table_property_drives_default(spark, tmp_warehouse):
+    import os
+
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.table import Table
+
+    loc = os.path.join(tmp_warehouse, "cowprop")
+    t = Table.create(loc, "k bigint, v string")
+    t.set_property("write.merge.mode", "cow")
+    t.append_dataframe(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string").coalesce(1)
+    )
+    merge_into(t, spark.createDataFrame([(1, "A")], "k bigint, v string"), keys=["k"])
+    assert t.files(content=mf.CONTENT_EQ_DEL) == []  # property picked cow
+    assert sorted(tuple(r) for r in t.scan(spark).collect()) == [(1, "A"), (2, "b")]
+
+
+def test_merge_cow_delete_matched_only(spark, tmp_warehouse):
+    import os
+
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources.table import Table
+
+    loc = os.path.join(tmp_warehouse, "cowdel")
+    t = Table.create(loc, "k bigint, v string")
+    t.append_dataframe(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k bigint, v string")
+        .coalesce(1)
+    )
+    merge_into(
+        t,
+        spark.createDataFrame([(3,), (5,)], "k bigint"),
+        keys=["k"],
+        mode="cow",
+        delete_matched_only=True,
+    )
+    ks = sorted(r["k"] for r in t.scan(spark).collect())
+    assert ks == [0, 1, 2, 4, 6, 7, 8, 9]

@@ -435,3 +435,53 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     assert by_src["s2"] == 0  # fraction 0.0 keeps nothing
     assert 380 <= by_src["s1"] <= 620  # ~0.5 of 1000
     assert 160 <= by_src["s3"] <= 340  # default 0.25 of 1000
+
+
+def test_repetition_metrics_values(spark):
+    from iceberg_compaction_spark.operators.textql import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),           # 2-grams: ab,ba,ab,ba,ab → top2 3/5
+            (2, "one two three four five six"),  # all grams unique
+            (3, "x y"),                    # too short for 5-grams
+            (4, None),                     # null text → zeros
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: (round(r["top2_frac"], 4), round(r["dup5_frac"], 4))
+           for r in repetition_metrics(df).collect()}
+    assert out[1][0] == round(3 / 5, 4)
+    # doc 1's 5-grams: "a b a b a","b a b a b" → both distinct → dup5 0
+    assert out[1][1] == 0.0
+    assert out[2] == (round(1 / 5, 4), 0.0)
+    assert out[3] == (round(1 / 1, 4), 0.0)  # single 2-gram "x y"
+    assert out[4] == (0.0, 0.0)
+    # a genuinely duplicated 5-gram
+    df2 = spark.createDataFrame(
+        [(9, "p q r s t p q r s t p q r s t")], "doc_id bigint, text string"
+    )
+    r = repetition_metrics(df2).collect()[0]
+    assert r["dup5_frac"] > 0.3
+
+
+def test_conversation_stats_metrics(spark):
+    from iceberg_compaction_spark.operators.transcripts import conversation_stats
+
+    rows = [
+        ("c1", 0, "user", "hi", None),
+        ("c1", 1, "assistant", "hello there", "search"),
+        ("c1", 2, "assistant", "more", None),   # role repeat
+        ("c1", 3, "user", "ok", None),
+        ("c2", 0, "user", "solo", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = {r["conv_id"]: r.asDict() for r in conversation_stats(df).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 4 and c1["n_roles"] == 2
+    assert c1["tool_turns"] == 1 and c1["role_repeats"] == 1
+    assert abs(c1["avg_chars"] - (2 + 11 + 4 + 2) / 4) < 1e-9
+    c2 = out["c2"]
+    assert c2["n_turns"] == 1 and c2["role_repeats"] == 0
