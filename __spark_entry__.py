@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 66 queries, 64 of them
+training-data pipeline operators — 68 queries, 66 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": QP.q_repetition_metrics,
         "conversation_stats": QP.q_conversation_stats,
         "merge_cow_roundtrip": QP.q_merge_cow_roundtrip,
+        "doc_chunks": QP.q_doc_chunks,
+        "packed_sequences": QP.q_packed_sequences,
         # --- round 4 tail the driver's 50-row window missed ---
         "bm25_relevance": QP.q_bm25_relevance,
         "simhash_fingerprint": QP.q_simhash_fingerprint,
@@ -83,7 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": QP.q_bloom_point_lookup,
         "pruned_range_scan": QP.q_pruned_range_scan,
         "pruned_or_scan": QP.q_pruned_or_scan,
-        "mor_position_delete": Q.q_mor_position_delete,
+        "paragraph_dedup": QP.q_paragraph_dedup,
         "mor_equality_delete_seq": Q.q_mor_equality_delete_seq,
         "small_files_selection": Q.q_small_files_selection,
         "ffd_binpack_window": Q.q_ffd_binpack_window,
@@ -94,7 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline ---
         "neardup_clusters": QP.q_neardup_clusters,
         "minhash_band_signatures": QP.q_minhash_band_signatures,
-        "paragraph_dedup": QP.q_paragraph_dedup,
+        "mor_position_delete": Q.q_mor_position_delete,
         "merge_upsert_dedup": Q.q_merge_upsert_dedup,
         "exact_dedup": QP.q_exact_dedup,
         "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
@@ -127,6 +129,8 @@ def oracle_sql() -> dict[str, str]:
         # CoW merge produces the IDENTICAL relation as the MoR twin —
         # same oracle by design
         "merge_cow_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,
+        "doc_chunks": QP.DOC_CHUNKS_SQL,
+        "packed_sequences": QP.PACKED_SEQUENCES_SQL,
         "bm25_relevance": QP.BM25_RELEVANCE_SQL,
         "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
         "text_analysis": QP.TEXT_ANALYSIS_SQL,
@@ -158,7 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_point_lookup": QP.BLOOM_POINT_LOOKUP_SQL,
         "pruned_range_scan": QP.PRUNED_RANGE_SCAN_SQL,
         "pruned_or_scan": QP.PRUNED_OR_SCAN_SQL,
-        "mor_position_delete": Q.MOR_POSITION_DELETE_SQL,
+        "paragraph_dedup": QP.PARAGRAPH_DEDUP_SQL,
         "mor_equality_delete_seq": Q.MOR_EQUALITY_DELETE_SEQ_SQL,
         "small_files_selection": Q.SMALL_FILES_SELECTION_SQL,
         "ffd_binpack_window": Q.FFD_BINPACK_WINDOW_SQL,
@@ -168,7 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
         "neardup_clusters": QP.NEARDUP_CLUSTERS_SQL,
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,
-        "paragraph_dedup": QP.PARAGRAPH_DEDUP_SQL,
+        "mor_position_delete": Q.MOR_POSITION_DELETE_SQL,
         "merge_upsert_dedup": Q.MERGE_UPSERT_DEDUP_SQL,
         "exact_dedup": QP.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": QP.NGRAM_JACCARD_PAIRS_SQL,

@@ -169,6 +169,82 @@ LEFT JOIN m5 USING (doc_id)
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: overlapping token-window chunking (64-token chunks,
+    16-token overlap) — the pre-tokenization shaping step for
+    context-window training data. Chunk text rides as md5 so the
+    compared relation stays narrow."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return ch.select(
+        "doc_id", "chunk_idx", F.md5("chunk_text").alias("chunk_md5"), "n_tokens"
+    )
+
+
+_CHUNKS_SQL_BODY = f"""
+toks AS (
+  SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+ok AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+  WHERE t IS NOT NULL AND NOT (len(t) = 1 AND t[1] = '')),
+nc AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 END AS c
+  FROM ok),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text,
+         len(t[i*48+1 : i*48+64]) AS n_tokens
+  FROM nc, UNNEST(generate_series(0, c - 1)) AS u(i))
+"""
+
+DOC_CHUNKS_SQL = f"""
+WITH {_CHUNKS_SQL_BODY}
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       md5(chunk_text) AS chunk_md5, CAST(n_tokens AS INT) AS n_tokens
+FROM ch
+"""
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: greedy sequence packing — chunks assigned to
+    256-token training sequences by the deterministic running-total
+    rule in (doc_id, chunk_idx) order; compared as per-sequence
+    rollups."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    packed = pack_sequences(ch, budget=256)
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+
+
+PACKED_SEQUENCES_SQL = f"""
+WITH {_CHUNKS_SQL_BODY},
+packed AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(floor(
+           (sum(n_tokens) OVER (ORDER BY doc_id ASC, chunk_idx ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens) / 256.0
+         ) AS BIGINT) AS seq_id
+  FROM ch)
+SELECT seq_id, count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM packed GROUP BY seq_id
+"""
+
+
 def q_minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH band signatures (salted-md5 min per hash slot,
     4 bands × 2 rows)."""

@@ -186,3 +186,44 @@ def test_scoped_scan_compiles_without_delete_joins(spark, tmp_warehouse):
     # the unscoped scan still resolves the delete
     full = _plan(t.scan(spark))
     assert "LeftAnti" in full
+
+
+# ----------------------------------------------------------------------
+# round 5: plan discipline for the new corpus operators
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must ride a broadcast join — the
+    corpus shingle stream never shuffles for the overlap."""
+    from iceberg_compaction_spark.operators.dedup import decontaminate
+
+    train = spark.range(200).selectExpr(
+        "id as doc_id", "concat('alpha beta gamma delta tok', id) as text"
+    )
+    bench = spark.range(5).selectExpr(
+        "id + 1000 as doc_id", "'alpha beta gamma delta' as text"
+    )
+    plan = decontaminate(train, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_adds_no_shuffle(spark):
+    """Sampling is a row-local filter: ZERO exchanges on top of the
+    scan."""
+    from iceberg_compaction_spark.operators.dedup import stratified_sample
+
+    df = spark.range(1000).selectExpr("id as doc_id", "concat('s', id % 3) as source")
+    out = stratified_sample(df, {"s0": 0.5}, default_fraction=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_chunking_is_mapside_until_aggregation(spark):
+    """chunk_documents is tokenize+explode only — no exchange; the
+    shuffle appears only when the caller aggregates (packing)."""
+    from iceberg_compaction_spark.operators.chunking import chunk_documents
+
+    df = spark.range(100).selectExpr(
+        "id as doc_id", "concat('tok a b c d e f g h i j k l m n o p ', id) as text"
+    )
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
