@@ -275,3 +275,101 @@ def test_random_dml_modes_match_model(spark, tmp_warehouse, seed):
             replayed[key] += 1
     final = Counter({(c, k, v): 1 for (c, k), v in _scan_state(spark, t).items()})
     assert replayed == final, f"seed {seed}: changelog replay diverged under CoW DML"
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_random_ops_with_migration_and_consolidation(spark, tmp_warehouse, seed):
+    """Round 5 net: random interleavings of appends, MoR/CoW upserts,
+    row deletes, partition-grain flips + binned migration, eq/pos
+    delete consolidation, and compaction — the scan must equal the
+    dict model after every step."""
+    import datetime as dt
+
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.maintenance import (
+        migrate_partition_spec,
+        rewrite_equality_deletes,
+        rewrite_position_deletes,
+    )
+    from iceberg_compaction_spark.sources.generator import day_partition_spec
+
+    rng = random.Random(seed)
+    t = Table.create(
+        os.path.join(tmp_warehouse, f"fuzzm{seed}"),
+        TRANSCRIPT_DDL,
+        partition=day_partition_spec(),
+    )
+    model: dict = {}
+    next_key = 0
+    base = dt.datetime(2024, 6, 1)
+
+    def _dfts(rows):
+        return spark.createDataFrame(
+            [
+                (c, k, "user", txt, None, base + dt.timedelta(hours=k % 200))
+                for c, k, txt in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    def fresh_rows(n):
+        nonlocal next_key
+        out = []
+        for _ in range(n):
+            out.append((f"c{next_key % 5}", next_key, f"v{rng.randrange(10_000)}"))
+            next_key += 1
+        return out
+
+    grains = ["date_format(ts, 'yyyy-MM-dd')", "date_format(ts, 'yyyy-MM')"]
+    grain = 0
+    ops = [
+        "append", "upsert_mor", "upsert_cow", "delete_mor", "delete_cow",
+        "migrate", "eqcons", "poscons", "compact",
+    ]
+    for step in range(16):
+        op = rng.choice(ops)
+        if op == "append" or not model:
+            rows = fresh_rows(rng.randrange(5, 30))
+            t.append_dataframe(_dfts(rows).coalesce(1))
+            model.update({(c, k): txt for c, k, txt in rows})
+        elif op in ("upsert_mor", "upsert_cow"):
+            keys = rng.sample(sorted(model), min(len(model), rng.randrange(1, 10)))
+            rows = [(c, k, f"u{step}_{i}") for i, (c, k) in enumerate(keys)]
+            rows += fresh_rows(rng.randrange(0, 5))
+            merge_into(
+                t, _dfts(rows), keys=["conv_id", "turn_idx"], mode=op.split("_")[1]
+            )
+            model.update({(c, k): txt for c, k, txt in rows})
+        elif op in ("delete_mor", "delete_cow"):
+            keys = rng.sample(sorted(model), min(len(model), rng.randrange(1, 8)))
+            idxs = sorted(k for _, k in keys)
+            delete_where(
+                spark,
+                t,
+                f"turn_idx IN ({', '.join(map(str, idxs))})",
+                mode=op.split("_")[1],
+            )
+            for key in [k for k in model if k[1] in set(idxs)]:
+                model.pop(key, None)
+        elif op == "migrate":
+            grain = 1 - grain
+            t.set_partition_expr(grains[grain])
+            migrate_partition_spec(spark, t, group_target_size_bytes=48 << 10)
+        elif op == "eqcons":
+            rewrite_equality_deletes(spark, t)
+        elif op == "poscons":
+            rewrite_position_deletes(spark, t)
+        else:
+            cfg = CompactionConfig(
+                selection=SelectionStrategy.FULL,
+                group_target_size_bytes=64 << 10,
+                min_size_per_partition_bytes=64 << 10,
+                commit_mode=rng.choice(
+                    [CommitMode.PLANNER_COMMIT, CommitMode.WORKER_COMMIT]
+                ),
+            )
+            CompactionRunner(spark, t, cfg).execute()
+        assert _scan_state(spark, t) == model, (
+            f"seed {seed} diverged at step {step} ({op})"
+        )
