@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 68 queries, 66 of them
+training-data pipeline operators — 69 queries, 67 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_cow_roundtrip": QP.q_merge_cow_roundtrip,
         "doc_chunks": QP.q_doc_chunks,
         "packed_sequences": QP.q_packed_sequences,
+        "datasource_scan": QP.q_datasource_scan,
         # --- round 4 tail the driver's 50-row window missed ---
         "bm25_relevance": QP.q_bm25_relevance,
         "simhash_fingerprint": QP.q_simhash_fingerprint,
@@ -91,10 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffd_binpack_window": Q.q_ffd_binpack_window,
         "delete_file_dedup": Q.q_delete_file_dedup,
         "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
-        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
         "stream_sessionization": QP.q_stream_sessionization,
         # --- training-data pipeline ---
         "neardup_clusters": QP.q_neardup_clusters,
+        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
         "minhash_band_signatures": QP.q_minhash_band_signatures,
         "mor_position_delete": Q.q_mor_position_delete,
         "merge_upsert_dedup": Q.q_merge_upsert_dedup,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_cow_roundtrip": QP.MERGE_INTO_ROUNDTRIP_SQL,
         "doc_chunks": QP.DOC_CHUNKS_SQL,
         "packed_sequences": QP.PACKED_SEQUENCES_SQL,
+        "datasource_scan": QP.DATASOURCE_SCAN_SQL,
         "bm25_relevance": QP.BM25_RELEVANCE_SQL,
         "simhash_fingerprint": QP.SIMHASH_FINGERPRINT_SQL,
         "text_analysis": QP.TEXT_ANALYSIS_SQL,
@@ -168,9 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "ffd_binpack_window": Q.FFD_BINPACK_WINDOW_SQL,
         "delete_file_dedup": Q.DELETE_FILE_DEDUP_SQL,
         "snapshot_expiry_filter": Q.SNAPSHOT_EXPIRY_FILTER_SQL,
-        "orphan_files_antijoin": Q.ORPHAN_FILES_ANTIJOIN_SQL,
         "stream_sessionization": QP.STREAM_SESSIONIZATION_SQL,
         "neardup_clusters": QP.NEARDUP_CLUSTERS_SQL,
+        "orphan_files_antijoin": Q.ORPHAN_FILES_ANTIJOIN_SQL,
         "minhash_band_signatures": QP.MINHASH_BAND_SIGNATURES_SQL,
         "mor_position_delete": Q.MOR_POSITION_DELETE_SQL,
         "merge_upsert_dedup": Q.MERGE_UPSERT_DEDUP_SQL,

@@ -793,6 +793,62 @@ def q_merge_cow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: the Spark-4 Python DataSource connector — the same
+    MERGE+DELETE table as delete_where_roundtrip is read back through
+    ``spark.read.format("icemaint")`` (per-file partitions with scoped
+    deletes, executor-side pyarrow MoR), so a plain Spark SQL user
+    gets the identical relation without this engine's Table API.
+    Self-gated: the connector result must equal the native scan."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources.datasource import register
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    register(spark)
+    tdir = tempfile.mkdtemp(prefix="icemaint_dsq_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL)
+        base = build_transcripts_from_events(spark, sf_dir)
+        table.append_dataframe(base.repartition(8, F.xxhash64("conv_id", "turn_idx")))
+        upd = (
+            table.scan(spark)
+            .filter(F.col("turn_idx") % 10 == 5)
+            .withColumn("text", F.concat(F.lit("UPD|"), F.col("text")))
+        )
+        merge_into(table, upd, keys=["conv_id", "turn_idx"])
+        delete_where(spark, table, "turn_idx % 9 = 5", mode="mor")
+        via_ds = spark.read.format("icemaint").load(loc)
+        out = via_ds.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        got = spark.read.parquet(result_dir)
+        native = table.scan(spark).count()
+        if got.count() != native:
+            raise AssertionError("datasource read diverges from native scan")
+        return got
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+DATASOURCE_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 10 = 5 THEN 'UPD|' || text ELSE text END AS text,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE turn_idx % 9 <> 5
+"""
+
+
 def q_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-pinned reads (S1/C7): append two batches as separate
     commits, scan the FIRST snapshot — it must show only batch one, no

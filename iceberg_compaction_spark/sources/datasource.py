@@ -1,0 +1,464 @@
+"""Spark 4 Python DataSource connector for the table format.
+
+``spark.read.format("icemaint").load(location)`` gives any Spark user a
+full merge-on-read snapshot read — WITHOUT importing this engine's
+Table API — and ``spark.readStream.format("icemaint")`` streams newly
+appended/merged data files as micro-batches (Iceberg's append-only
+streaming-read semantics). Built on PySpark 4's Python Data Source API
+(public: pyspark.sql.datasource), the idiomatic way to expose a custom
+table format to plain Spark SQL users.
+
+Planning runs on the DRIVER (manifest-sized): per-file partitions
+carry their SCOPED delete attachments (plans/delete_scope — the same
+rules the native scan uses), and `pushFilters` runs the same manifest
+bounds pruner as `Table.scan(filter=…)`, returning every filter
+unhandled so Spark still applies the full predicate to surviving rows
+(pruning is never a correctness dependency). Per-partition reads run
+executor-side on pyarrow: position deletes mask row indices (parquet
+physical order == our ``_pos`` convention), equality deletes apply the
+``data_seq < delete_seq`` rule with per-row ``_seq`` honored for
+consolidated files.
+
+v1 limits (documented, tested): schema evolution is handled by
+name-based padding (added columns read as NULL on old files; initial
+DEFAULTs and rename epochs need the native ``Table.scan``), and bloom
+sidecar pruning is not probed (bounds pruning only).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _FileSlice(InputPartition):
+    """One data file + its scoped delete attachments (all primitives:
+    pickled to executors)."""
+
+    path: str
+    seq: int
+    pos_delete_paths: tuple
+    # ((key column names…), ((delete path, file seq), …)) per key set
+    eq_groups: tuple
+    arrow_schema: object  # pa.Schema (picklable); computed DRIVER-side
+
+
+def _arrow_schema_of(schema: StructType):
+    """Spark schema → arrow schema, DRIVER-side (executors have no
+    SparkContext to parse DDL with)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+    )
+
+
+def _pad_to_schema(tbl, arrow_schema):
+    """Arrow table → exactly the reader schema: missing columns become
+    typed nulls (add-column evolution), extras drop, order fixed."""
+    import pyarrow as pa
+
+    cols = []
+    for field in arrow_schema:
+        if field.name in tbl.column_names:
+            col = tbl.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+        else:
+            col = pa.nulls(tbl.num_rows, type=field.type)
+        cols.append(col)
+    return pa.table(cols, schema=arrow_schema)
+
+
+def _read_file_with_deletes(part: _FileSlice) -> Iterator:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.path)
+    n = tbl.num_rows
+    keep = np.ones(n, dtype=bool)
+
+    if part.pos_delete_paths:
+        dead: set[int] = set()
+        for p in part.pos_delete_paths:
+            d = pq.read_table(p, columns=["_file", "_pos"])
+            df = d.to_pandas()
+            dead.update(int(x) for x in df.loc[df["_file"] == part.path, "_pos"])
+        if dead:
+            idx = np.fromiter((i for i in dead if 0 <= i < n), dtype=np.int64)
+            keep[idx] = False
+
+    for keys, files in part.eq_groups:
+        import pandas as pd
+
+        frames = []
+        for dpath, dseq in files:
+            d = pq.read_table(dpath).to_pandas()
+            if "_seq" not in d.columns:
+                d["_seq"] = int(dseq)  # plain file: manifest file-level seq
+            frames.append(d[list(keys) + ["_seq"]])
+        if not frames:
+            continue
+        dels = pd.concat(frames, ignore_index=True)
+        dels = dels.groupby(list(keys), dropna=False)["_seq"].max().reset_index()
+        data_keys = tbl.select(list(keys)).to_pandas()
+        merged = data_keys.merge(dels, on=list(keys), how="left")
+        kill = merged["_seq"].notna() & (merged["_seq"] > part.seq)
+        keep &= ~kill.to_numpy()
+
+    if not keep.all():
+        tbl = tbl.filter(keep)
+    out = _pad_to_schema(tbl, part.arrow_schema)
+    yield from out.to_batches(max_chunksize=65536)
+
+
+def _load_table(options):
+    from iceberg_compaction_spark.sources.table import Table
+
+    loc = options.get("path") or options.get("location")
+    if not loc:
+        raise ValueError("icemaint: pass the table location via load(path)")
+    return Table.load(loc)
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self._options = options
+        self._schema = schema
+        self._predicates: list[str] = []
+
+    def pushFilters(self, filters):
+        """Translate simple comparisons into the manifest pruner's
+        predicate language (file pruning ONLY — every filter is
+        returned unhandled, so Spark still applies it to rows)."""
+
+        def lit(v):
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            return str(v)
+
+        for f in filters:
+            try:
+                col = ".".join(f.attribute)
+                if "." not in col and "`" not in col:
+                    if isinstance(f, EqualTo):
+                        self._predicates.append(f"{col} = {lit(f.value)}")
+                    elif isinstance(f, GreaterThan):
+                        self._predicates.append(f"{col} > {lit(f.value)}")
+                    elif isinstance(f, GreaterThanOrEqual):
+                        self._predicates.append(f"{col} >= {lit(f.value)}")
+                    elif isinstance(f, LessThan):
+                        self._predicates.append(f"{col} < {lit(f.value)}")
+                    elif isinstance(f, LessThanOrEqual):
+                        self._predicates.append(f"{col} <= {lit(f.value)}")
+                    elif isinstance(f, In):
+                        vals = " OR ".join(f"{col} = {lit(v)}" for v in f.value)
+                        if vals:
+                            self._predicates.append(f"({vals})")
+                    elif isinstance(f, IsNotNull):
+                        pass  # no bounds gain; handled by Spark
+            except Exception:
+                pass  # unmodelled filter shape: prune nothing for it
+            yield f  # ALL filters re-applied by Spark
+
+    def partitions(self):
+        from iceberg_compaction_spark.plans import delete_scope
+        from iceberg_compaction_spark.sources import manifest as mf
+
+        table = _load_table(self._options)
+        snap = self._options.get("snapshot_id")
+        rows = table.manifest(int(snap) if snap is not None else None)
+        data_rows = [r for r in rows if r["content"] == mf.CONTENT_DATA]
+        pos_rows = [r for r in rows if r["content"] == mf.CONTENT_POS_DEL]
+        eq_rows = [r for r in rows if r["content"] == mf.CONTENT_EQ_DEL]
+
+        if self._predicates:
+            from iceberg_compaction_spark.plans import pruning
+
+            pred = " AND ".join(self._predicates)
+            # type categories from the READER schema (already a parsed
+            # StructType) — Table.column_type_categories would re-parse
+            # DDL, which needs a SparkContext this planning worker
+            # doesn't have
+            data_rows, _ = pruning.prune_files(
+                data_rows, pred, col_types=pruning.col_type_categories(self._schema)
+            )
+
+        aschema = _arrow_schema_of(self._schema)
+        parts = []
+        for r in data_rows:
+            if r["record_count"] == 0:
+                continue
+            pos, eq = delete_scope.scope_deletes([r], pos_rows, eq_rows)
+            eq_groups: dict[tuple, list] = {}
+            for e in eq:
+                eq_groups.setdefault(tuple(e["equality_ids"] or ()), []).append(
+                    (e["path"], e["sequence_number"])
+                )
+            parts.append(
+                _FileSlice(
+                    path=r["path"],
+                    seq=r["sequence_number"],
+                    pos_delete_paths=tuple(p["path"] for p in pos),
+                    eq_groups=tuple(
+                        (k, tuple(v)) for k, v in sorted(eq_groups.items()) if k
+                    ),
+                    arrow_schema=aschema,
+                )
+            )
+        return parts
+
+    def read(self, partition: _FileSlice):
+        yield from _read_file_with_deletes(partition)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Append-only incremental read: each micro-batch carries the DATA
+    files added by append/merge commits since the last offset; replace
+    (compaction, migration), delete, and maintenance commits are
+    skipped — Iceberg's streaming-read semantics (rewritten rows do
+    not re-stream)."""
+
+    def __init__(self, options, schema: StructType):
+        self._options = options
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        start = self._options.get("starting_snapshot_id")
+        if start is not None:
+            if str(start).lower() == "earliest":
+                return {"snapshot_id": None}
+            return {"snapshot_id": int(start)}
+        t = _load_table(self._options)
+        return {"snapshot_id": t.current_snapshot_id}
+
+    def latestOffset(self) -> dict:
+        t = _load_table(self._options)
+        return {"snapshot_id": t.current_snapshot_id}
+
+    def _added_data_rows(self, table, start_sid, end_sid):
+        """Data-file rows added by append/merge commits on the chain
+        (start, end] — manifest set differences per commit, exact even
+        across base-manifest collapses."""
+        from iceberg_compaction_spark.sources import manifest as mf
+
+        chain = []
+        s = end_sid
+        while s is not None and s != start_sid:
+            snap = table.snapshot(s)
+            chain.append(snap)
+            s = snap.get("parent_id")
+        if s != start_sid:
+            raise ValueError(
+                f"start snapshot {start_sid} is not an ancestor of {end_sid} "
+                "(expired or divergent); restart the stream"
+            )
+        out = []
+        for snap in reversed(chain):
+            if snap.get("operation") not in ("append", "merge"):
+                continue
+            sid, parent = snap["snapshot_id"], snap.get("parent_id")
+            cur = {
+                r["path"]: r
+                for r in table.manifest(sid)
+                if r["content"] == mf.CONTENT_DATA
+            }
+            prev = (
+                {
+                    r["path"]
+                    for r in table.manifest(parent)
+                    if r["content"] == mf.CONTENT_DATA
+                }
+                if parent is not None
+                else set()
+            )
+            out += [r for p, r in sorted(cur.items()) if p not in prev]
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        table = _load_table(self._options)
+        start_sid, end_sid = start.get("snapshot_id"), end.get("snapshot_id")
+        aschema = _arrow_schema_of(self._schema)
+        parts = [
+            _FileSlice(
+                path=r["path"],
+                seq=r["sequence_number"],
+                pos_delete_paths=(),
+                eq_groups=(),
+                arrow_schema=aschema,
+            )
+            for r in self._added_data_rows(table, start_sid, end_sid)
+            if r["record_count"] > 0
+        ]
+        if not parts:
+            # Spark requires ≥1 partition per batch; an empty marker
+            # partition reads zero rows
+            parts = [
+                _FileSlice(
+                    path="", seq=0, pos_delete_paths=(), eq_groups=(),
+                    arrow_schema=aschema,
+                )
+            ]
+        return parts
+
+    def read(self, partition: _FileSlice):
+        if not partition.path:
+            return iter(())
+        return _read_file_with_deletes(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are retained by table retention policy
+
+    def stop(self) -> None:
+        pass
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    paths: tuple
+
+
+class _BatchWriter(DataSourceWriter):
+    """``df.write.format("icemaint").mode("append").save(location)`` —
+    executor tasks stage parquet files under the table's data dir
+    (pyarrow, no Spark session needed), and ``commit`` turns the staged
+    files into ONE atomic append snapshot via the engine's commit
+    protocol (footer stats → manifest rows driver-side; a crash before
+    commit leaves unreferenced staged files for clean_orphan_files).
+
+    v1 scope: append mode on UNPARTITIONED tables (a partition spec's
+    derivation expr is Spark SQL, which these pyarrow write tasks
+    cannot evaluate — use ``Table.append_dataframe`` there)."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        import uuid
+
+        if overwrite:
+            raise NotImplementedError(
+                "icemaint writer is append-only; use the engine's DML "
+                "(delete_where / merge_into / compaction) for rewrites"
+            )
+        self._options = options
+        table = _load_table(options)
+        if table.meta.get("partition"):
+            raise NotImplementedError(
+                "icemaint writer v1 supports unpartitioned tables only; "
+                "use Table.append_dataframe for partitioned writes"
+            )
+        want = list(table.user_columns())
+        have = [f.name for f in schema.fields]
+        if sorted(want) != sorted(have):
+            raise ValueError(
+                f"schema mismatch: table columns {want}, dataframe {have}"
+            )
+        self._ordered = want
+        self._arrow_schema = _arrow_schema_of(
+            StructType([schema[c] for c in want])
+        )
+        self._stage = os.path.join(table.data_dir, f"dsw-{uuid.uuid4().hex[:12]}")
+
+    def write(self, iterator):
+        import os as _os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _os.makedirs(self._stage, exist_ok=True)
+        path = _os.path.join(self._stage, f"part-{uuid.uuid4().hex[:12]}.parquet")
+        writer = None
+        buf: list[dict] = []
+
+        def flush():
+            nonlocal writer
+            if not buf:
+                return
+            batch = pa.Table.from_pylist(buf, schema=self._arrow_schema)
+            if writer is None:
+                writer = pq.ParquetWriter(path, self._arrow_schema)
+            writer.write_table(batch)
+            buf.clear()
+
+        for row in iterator:
+            buf.append({c: row[c] for c in self._ordered})
+            if len(buf) >= 65536:
+                flush()
+        flush()
+        if writer is None:
+            return _WriteMessage(paths=())  # empty task: no file
+        writer.close()
+        return _WriteMessage(paths=(path,))
+
+    def commit(self, messages) -> None:
+        from iceberg_compaction_spark.sources import manifest as mf
+        from iceberg_compaction_spark.sources.table import Table
+
+        paths = [p for m in messages if m is not None for p in m.paths]
+        table = _load_table(self._options)
+        infos = [
+            fi
+            for fi in mf.collect_file_infos(paths, content=mf.CONTENT_DATA)
+            if fi.record_count > 0
+        ]
+        for fi in infos:
+            fi.partition = Table._partition_of(fi)
+        if infos:
+            table.commit("append", added=infos)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._stage, ignore_errors=True)
+
+
+class IcemaintDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "icemaint"
+
+    def schema(self):
+        return _load_table(self.options).meta["schema_ddl"]
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BatchReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _StreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _BatchWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    """Make ``format("icemaint")`` available on this session (and turn
+    on Python-datasource filter pushdown, which gates the
+    ``pushFilters`` file-pruning hook — a plain SQL conf, default
+    false in Spark 4.1)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # locked-down conf: reads still work, pruning hook off
+    spark.dataSource.register(IcemaintDataSource)
