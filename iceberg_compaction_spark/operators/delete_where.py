@@ -106,7 +106,15 @@ def delete_where(
             finally:
                 scanned.unpersist()
         else:
-            df = table.read_data_rows(spark, candidates, with_file=True, with_pos=True)
+            # MoR-RESOLVED read of the straddlers: rows an existing
+            # tombstone (or equality delete) already killed never get a
+            # second tombstone, so deleted_rows counts live rows only —
+            # same accounting the full-drop path guarantees — and
+            # repeated overlapping DELETEs don't accrete duplicate
+            # (file, pos) entries
+            df = table.scan(
+                spark, paths=[r["path"] for r in candidates], with_hidden=True
+            )
             hits = df.filter(F.expr(predicate)).select(FILE_COL, POS_COL)
             added = table.write_delete_files(hits, [FILE_COL, POS_COL], mf.CONTENT_POS_DEL)
             deleted_rows = sum(fi.record_count for fi in added)

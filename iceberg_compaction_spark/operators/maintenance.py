@@ -459,19 +459,14 @@ def migrate_partition_spec(
         return table.current_snapshot_id
 
     target = group_target_size_bytes or CompactionConfig().group_target_size_bytes
-    # FFD into size-targeted bins (driver-side over manifest rows —
-    # the same scale envelope as compaction's plan collect)
-    bins: list[list[dict]] = []
-    sizes: list[int] = []
-    for r in sorted(todo, key=lambda x: -x["size_bytes"]):
-        for i, s in enumerate(sizes):
-            if s + r["size_bytes"] <= target:
-                bins[i].append(r)
-                sizes[i] += r["size_bytes"]
-                break
-        else:
-            bins.append([r])
-            sizes.append(r["size_bytes"])
+    # FFD into size-targeted bins via the tested shared packer (same
+    # lookback + oversized-solo rules as compaction planning;
+    # driver-side over manifest rows — the same scale envelope as
+    # compaction's plan collect)
+    from iceberg_compaction_spark.plans.packer import ffd_pack
+
+    idx_bins = ffd_pack([r["size_bytes"] for r in todo], target)
+    bins = [[todo[i] for i in idx] for idx in idx_bins]
 
     run_id = run_id or _uuid.uuid4().hex[:12]
     runner = CompactionRunner(spark, table, CompactionConfig())  # checkpoint I/O

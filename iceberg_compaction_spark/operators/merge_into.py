@@ -170,11 +170,14 @@ def _merge_cow(
     fold them."""
     data_rows = table.files(content=mf.CONTENT_DATA)
     key0 = keys[0]
-    # source key range (two scalars; one narrow agg)
+    # source key range (two scalars; one narrow agg), normalized to the
+    # manifest's JSON representation (timestamps/dates serialize as ISO
+    # strings there — same-format ISO compares chronologically, and
+    # comparing a raw datetime against a stats string would TypeError)
     rng = src.agg(
         F.min(key0).alias("lo"), F.max(key0).alias("hi")
     ).collect()[0]
-    src_lo, src_hi = rng["lo"], rng["hi"]
+    src_lo, src_hi = mf._json_safe(rng["lo"]), mf._json_safe(rng["hi"])
 
     def _overlaps(r: dict) -> bool:
         if src_lo is None:  # empty source handled below
@@ -185,7 +188,10 @@ def _merge_cow(
             return True  # unknown bounds: conservative candidate
         if not st or st.get("min") is None or st.get("max") is None:
             return True
-        return not (st["max"] < src_lo or st["min"] > src_hi)
+        try:
+            return not (st["max"] < src_lo or st["min"] > src_hi)
+        except TypeError:
+            return True  # incomparable representations: keep the file
 
     candidates = [r["path"] for r in data_rows if _overlaps(r)]
     added: list = []

@@ -112,17 +112,29 @@ def _read_file_with_deletes(part: _FileSlice) -> Iterator:
     for keys, files in part.eq_groups:
         import pandas as pd
 
+        _NULL = "\x00__icemaint_null__"
+
+        def _null_safe(frame: "pd.DataFrame") -> "pd.DataFrame":
+            # match the native anti-join's eqNullSafe semantics AND keep
+            # dtypes mergeable: a None in an int64 delete frame would
+            # otherwise become float64 and pandas raises on int64-vs-
+            # float64 merge keys. Everything joins as object + sentinel.
+            for k in keys:
+                col = frame[k].astype(object)
+                frame[k] = col.where(col.notna(), _NULL)
+            return frame
+
         frames = []
         for dpath, dseq in files:
             d = pq.read_table(dpath).to_pandas()
             if "_seq" not in d.columns:
                 d["_seq"] = int(dseq)  # plain file: manifest file-level seq
-            frames.append(d[list(keys) + ["_seq"]])
+            frames.append(_null_safe(d[list(keys) + ["_seq"]].copy()))
         if not frames:
             continue
         dels = pd.concat(frames, ignore_index=True)
         dels = dels.groupby(list(keys), dropna=False)["_seq"].max().reset_index()
-        data_keys = tbl.select(list(keys)).to_pandas()
+        data_keys = _null_safe(tbl.select(list(keys)).to_pandas())
         merged = data_keys.merge(dels, on=list(keys), how="left")
         kill = merged["_seq"].notna() & (merged["_seq"] > part.seq)
         keep &= ~kill.to_numpy()
@@ -208,6 +220,13 @@ class _BatchReader(DataSourceReader):
             )
 
         aschema = _arrow_schema_of(self._schema)
+        # global prescope first: one pass shrinks the delete lists to
+        # the files-in-scope superset, so the per-file scoping loop is
+        # O(files × applicable-deletes), not O(files × all-deletes)
+        if pos_rows or eq_rows:
+            pos_rows, eq_rows = delete_scope.scope_deletes(
+                data_rows, pos_rows, eq_rows
+            )
         parts = []
         for r in data_rows:
             if r["record_count"] == 0:
@@ -336,6 +355,30 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+def _ddl_columns(ddl: str) -> list[tuple[str, str]]:
+    """(name, normalized type) pairs from a DDL string, depth-aware on
+    nested ``<...>`` types — parsed textually because this code runs in
+    Python workers with no SparkContext to call StructType.fromDDL."""
+    pieces, depth, cur = [], 0, ""
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            pieces.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        pieces.append(cur)
+    out = []
+    for p in pieces:
+        name, typ = p.strip().split(None, 1)
+        out.append((name.strip("`"), typ.strip().lower().replace(" ", "")))
+    return out
+
+
 @dataclass
 class _WriteMessage(WriterCommitMessage):
     paths: tuple
@@ -368,11 +411,29 @@ class _BatchWriter(DataSourceWriter):
                 "icemaint writer v1 supports unpartitioned tables only; "
                 "use Table.append_dataframe for partitioned writes"
             )
-        want = list(table.user_columns())
-        have = [f.name for f in schema.fields]
-        if sorted(want) != sorted(have):
+        want_types = dict(_ddl_columns(table.meta["schema_ddl"]))
+        want = list(want_types)
+        have_types = {
+            f.name: f.dataType.simpleString().lower().replace(" ", "")
+            for f in schema.fields
+        }
+        if sorted(want) != sorted(have_types):
             raise ValueError(
-                f"schema mismatch: table columns {want}, dataframe {have}"
+                f"schema mismatch: table columns {want}, dataframe "
+                f"{sorted(have_types)}"
+            )
+        # types too — name-only validation would let an int64 frame
+        # append into a string column, committing parquet files every
+        # later scan chokes on
+        bad = {
+            c: (have_types[c], want_types[c])
+            for c in want
+            if have_types[c] != want_types[c]
+        }
+        if bad:
+            raise ValueError(
+                "type mismatch (dataframe vs table): "
+                + ", ".join(f"{c}: {a} vs {b}" for c, (a, b) in sorted(bad.items()))
             )
         self._ordered = want
         self._arrow_schema = _arrow_schema_of(

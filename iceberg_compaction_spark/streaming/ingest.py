@@ -39,7 +39,16 @@ def _stream_guard(table: Table, stream_key: str):
         return last
 
     def record(batch_id: int) -> None:
-        table.set_property(prop_key, int(batch_id))
+        # best-effort durability: the snapshot summary (already
+        # committed) is the atomic record — a lock-contended property
+        # write must NOT fail the streaming query after the data
+        # landed; the next successful record() catches the mark up
+        try:
+            table.set_property(prop_key, int(batch_id))
+        except Exception:
+            from iceberg_compaction_spark.metrics import GLOBAL
+
+            GLOBAL.inc("stream.batch_mark_write_failed")
 
     return last_committed, record
 

@@ -178,3 +178,96 @@ def test_fast_min_max_one_sided_stats_falls_back_to_scan(spark, tmp_warehouse):
     out = fast_min_max(spark, t, "v")
     assert out["min"] == 0 and out["max"] == 70
     assert out["scanned_files"] > 0  # took the scan fallback, no TypeError
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review fixes
+def test_merge_cow_timestamp_first_key(spark, tmp_warehouse):
+    """CoW candidate selection compares manifest ISO-string bounds
+    against a datetime source range — must not TypeError, must pick the
+    right files."""
+    import datetime as dt
+
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    loc = os.path.join(tmp_warehouse, "cowts")
+    t = Table.create(loc, "ts timestamp, v string")
+    base = dt.datetime(2024, 6, 1)
+    rows = [(base + dt.timedelta(hours=i), f"v{i}") for i in range(10)]
+    t.append_dataframe(
+        spark.createDataFrame(rows, "ts timestamp, v string").coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(base + dt.timedelta(hours=3), "NEW")], "ts timestamp, v string"
+    )
+    merge_into(t, src, keys=["ts"], mode="cow")
+    got = {r["v"] for r in t.scan(spark).collect()}
+    assert "NEW" in got and "v3" not in got and len(got) == 10
+    assert t.files(content=mf.CONTENT_EQ_DEL) == []
+
+
+def test_datasource_writer_rejects_type_mismatch(spark, tmp_warehouse):
+    import pytest
+
+    from iceberg_compaction_spark.sources.datasource import register
+
+    loc = os.path.join(tmp_warehouse, "dsw_t")
+    t = Table.create(loc, "k bigint, v string")
+    t.append_dataframe(spark.createDataFrame([(1, "a")], "k bigint, v string").coalesce(1))
+    register(spark)
+    bad = spark.createDataFrame([("1", "x")], "k string, v string")  # k wrong type
+    with pytest.raises(Exception, match="type mismatch|TYPE"):
+        bad.write.format("icemaint").mode("append").save(loc)
+    assert t.scan(spark).count() == 1  # nothing committed
+
+
+def test_datasource_null_eq_key_matches_native(spark, tmp_warehouse):
+    """eqNullSafe parity: a NULL-keyed equality delete kills the
+    NULL-keyed row in BOTH the native scan and the connector read."""
+    from iceberg_compaction_spark.sources.datasource import register
+
+    loc = os.path.join(tmp_warehouse, "dsnull")
+    t = Table.create(loc, "k bigint, v string")
+    t.append_dataframe(
+        spark.createDataFrame([(1, "a"), (None, "nullrow"), (3, "c")], "k bigint, v string").coalesce(1)
+    )
+    t.add_equality_deletes(spark.createDataFrame([(None,)], "k bigint"), ["k"])
+    register(spark)
+    native = sorted((r["k"], r["v"]) for r in t.scan(spark).collect())
+    assert native == [(1, "a"), (3, "c")]
+    via_ds = sorted(
+        (r["k"], r["v"]) for r in spark.read.format("icemaint").load(loc).collect()
+    )
+    assert via_ds == native
+
+
+def test_delete_where_straddler_counts_live_rows_only(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+
+    loc = os.path.join(tmp_warehouse, "dwstrad")
+    t = Table.create(loc, "k bigint, v string")
+    t.append_dataframe(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k bigint, v string").coalesce(1)
+    )
+    r1 = delete_where(spark, t, "k < 3", mode="mor")
+    assert r1["deleted_rows"] == 3
+    # overlapping straddler delete: only rows 3 and 4 are still alive
+    r2 = delete_where(spark, t, "k < 5", mode="mor")
+    assert r2["deleted_rows"] == 2, r2
+    assert sorted(r["k"] for r in t.scan(spark).collect()) == [5, 6, 7, 8, 9]
+
+
+def test_stream_batch_mark_failure_is_nonfatal(spark, tmp_warehouse):
+    from iceberg_compaction_spark.streaming.ingest import make_idempotent_batch_writer
+
+    loc = os.path.join(tmp_warehouse, "streamnf")
+    t = Table.create(loc, "id bigint, v string")
+    write_batch = make_idempotent_batch_writer(t, os.path.join(tmp_warehouse, "ck"))
+
+    def boom(*a, **kw):
+        raise RuntimeError("lock contended")
+
+    t.set_property = boom
+    df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    write_batch(df, 0)  # must not raise: data commit already landed
+    assert t.scan(spark).count() == 1
