@@ -184,7 +184,6 @@ def clean_dangling_deletes(spark: SparkSession, table: Table) -> int:
     (cleanDanglingDeleteFiles). Returns the new snapshot id, or the
     current one if nothing to do."""
     man = table.manifest()
-    data_paths = {r["path"] for r in man if r["content"] == mf.CONTENT_DATA}
     pos_rows = [r for r in man if r["content"] == mf.CONTENT_POS_DEL]
     min_data_seq = min(
         (r["sequence_number"] for r in man if r["content"] == mf.CONTENT_DATA), default=None
@@ -199,13 +198,17 @@ def clean_dangling_deletes(spark: SparkSession, table: Table) -> int:
             spark, [r["path"] for r in pos_rows]
         ).persist()
         try:
-            # join against a paths DataFrame, not a 10^5-element
-            # In-literal: the live-path set is manifest-sized metadata,
-            # broadcastable
-            live_df = spark.createDataFrame(
-                [(p,) for p in sorted(data_paths)], f"{FILE_COL} string"
+            # live-data-path set straight from files_df (the manifest
+            # parquets read executor-side) — never a driver-built list:
+            # at 10^6 files that list is ~10^8 bytes of Python strings
+            # funneled through createDataFrame. Same shape as
+            # rewrite_position_deletes below.
+            live_df = (
+                table.files_df(spark)
+                .filter(F.col("content") == mf.CONTENT_DATA)
+                .select(F.col("path").alias(FILE_COL))
             )
-            live_refs = pos_df.join(F.broadcast(live_df), on=FILE_COL, how="left_semi")
+            live_refs = pos_df.join(live_df, on=FILE_COL, how="left_semi")
             n_total = pos_df.count()
             n_live = live_refs.count()
             if n_live < n_total:

@@ -67,33 +67,105 @@ def _pil():
         return None
 
 
+def _soundfile():
+    """Runtime probe for the audio decoder (soundfile), mirroring
+    ``_pil``: module or None, probed per call."""
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _ffmpeg():
+    """Runtime probe for a video decoder: the ffmpeg binary's path, or
+    None when absent from PATH."""
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def _probe_for(media_type: str):
+    """(decoder handle, library name) for a media type — the handle is
+    None when the environment lacks the decoder."""
+    mt = str(media_type)
+    if mt.startswith("image"):
+        return _pil(), "PIL"
+    if mt.startswith("audio"):
+        return _soundfile(), "soundfile"
+    if mt.startswith("video"):
+        return _ffmpeg(), "ffmpeg"
+    return None, "unknown-media-type"
+
+
 def _decode_real(media_type: str, payload: bytes):
     """Real image decode when PIL is importable; NotImplementedError
-    otherwise (no PIL in this container) or for audio/video types
-    (would need soundfile/ffmpeg, also absent)."""
-    Image = _pil()
-    if Image is None:
+    with the missing decoder named otherwise. Audio/video real decode
+    goes through ``_features_real`` (features, not an object handle)."""
+    handle, lib = _probe_for(media_type)
+    if handle is None:
         raise NotImplementedError(
-            "real decoders (PIL/soundfile/ffmpeg) are not available in this "
-            "environment; use decode='fake' for the deterministic test path"
+            f"real decoder for {media_type} needs {lib}, which is not "
+            "available in this environment; use decode='fake' for the "
+            "deterministic test path"
         )
     if not str(media_type).startswith("image"):
         raise NotImplementedError(
-            f"no real decoder for {media_type}: only image/* is supported "
-            "(audio/video would need soundfile/ffmpeg)"
+            f"{media_type} has no decode-to-object form; use "
+            "_features_real/extract_features(decode='real')"
         )
     import io
 
-    return Image.open(io.BytesIO(payload))
+    return handle.open(io.BytesIO(payload))
 
 
 def _features_real(media_type: str, payload: bytes) -> tuple[float, list[int]]:
-    """(brightness, 8-bin luma histogram) from a REAL image decode."""
-    img = _decode_real(media_type, payload)
-    gray = np.asarray(img.convert("L"), dtype=np.uint8)
-    return float(gray.mean()), np.bincount(
-        (gray >> 5).ravel(), minlength=8
-    ).astype("int32").tolist()
+    """(brightness, 8-bin histogram) from a REAL decode: luma for
+    image/* (PIL), |amplitude| for audio/* (soundfile), first-frame
+    luma for video/* (ffmpeg rawvideo pipe). Each path engages when
+    its probe finds the decoder; otherwise NotImplementedError names
+    the missing library."""
+    handle, lib = _probe_for(media_type)
+    if handle is None:
+        raise NotImplementedError(
+            f"real decoder for {media_type} needs {lib}, which is not "
+            "available in this environment; use decode='fake' for the "
+            "deterministic test path"
+        )
+    mt = str(media_type)
+    if mt.startswith("image"):
+        gray = np.asarray(_decode_real(media_type, payload).convert("L"), dtype=np.uint8)
+        return float(gray.mean()), np.bincount(
+            (gray >> 5).ravel(), minlength=8
+        ).astype("int32").tolist()
+    if mt.startswith("audio"):
+        import io
+
+        data, _sr = handle.read(io.BytesIO(payload))
+        mono = np.abs(np.asarray(data, dtype=np.float64))
+        if mono.ndim > 1:
+            mono = mono.mean(axis=1)
+        if mono.size == 0:
+            return 0.0, [0] * 8
+        bins = np.minimum((np.clip(mono, 0.0, 1.0) * 8).astype(np.int64), 7)
+        return float(mono.mean()), np.bincount(bins, minlength=8).astype(
+            "int32"
+        ).tolist()
+    # video/*: decode the first frame to 8-bit gray via an ffmpeg pipe
+    import subprocess
+
+    out = subprocess.run(
+        [handle, "-v", "error", "-i", "pipe:0", "-frames:v", "1",
+         "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1"],
+        input=payload, capture_output=True, check=True,
+    ).stdout
+    gray = np.frombuffer(out, dtype=np.uint8)
+    if gray.size == 0:
+        return 0.0, [0] * 8
+    return float(gray.mean()), np.bincount(gray >> 5, minlength=8).astype(
+        "int32"
+    ).tolist()
 
 
 def extract_features(
@@ -108,8 +180,10 @@ def extract_features(
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     use_real = decode == "real"
-    if use_real and _pil() is None:
-        _decode_real("image/*", b"")  # fail fast driver-side, clean message
+    if use_real and _pil() is None and _soundfile() is None and _ffmpeg() is None:
+        # no decoder of any modality: fail fast driver-side with the
+        # canonical message instead of per-task executor errors
+        _decode_real("image/*", b"")
     stride = max(1, frame_stride)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,19 +297,41 @@ def sample_frames(
     stride = max(1, stride_ms)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "frame_idx": pd.Series(dtype="int32"),
+             "frame_ms": pd.Series(dtype="int32"), "frame": pd.Series(dtype=object)}
+        )
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
-            for _, r in pdf.iterrows():
-                if not str(r["media_type"]).startswith("video"):
-                    continue
-                payload = r["media"] or b"\x00"
-                n = min(max_frames, max(1, int(r["media_ms"]) // stride))
-                for i in range(n):
-                    lo = (i * 97) % max(len(payload), 1)
-                    rows["doc_id"].append(r["doc_id"])
-                    rows["frame_idx"].append(i)
-                    rows["frame_ms"].append(i * stride)
-                    rows["frame"].append(bytes(payload[lo : lo + 64] or b"\x00"))
-            yield pd.DataFrame(rows)
+            vid = pdf[pdf["media_type"].astype(str).str.startswith("video")]
+            if len(vid) == 0:
+                yield empty
+                continue
+            # numpy repeat/explode: per-row frame counts → flat arrays
+            counts = np.minimum(
+                max_frames,
+                np.maximum(1, vid["media_ms"].to_numpy(dtype=np.int64) // stride),
+            )
+            total = int(counts.sum())
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            idx = (np.arange(total) - starts).astype(np.int64)
+            payloads = [p if p else b"\x00" for p in vid["media"]]
+            plens = np.repeat(
+                np.fromiter((len(p) for p in payloads), dtype=np.int64), counts
+            )
+            los = (idx * 97) % plens
+            parr = np.empty(len(payloads), dtype=object)
+            parr[:] = payloads  # bytes stay scalars (asarray would 2-D equal-length bytes)
+            rep = np.repeat(parr, counts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(vid["doc_id"].to_numpy(), counts),
+                    "frame_idx": idx.astype("int32"),
+                    "frame_ms": (idx * stride).astype("int32"),
+                    "frame": [
+                        bytes(p[lo : lo + 64] or b"\x00")
+                        for p, lo in zip(rep, los)
+                    ],
+                }
+            )
 
     return media_df.mapInPandas(gen, schema=FRAME_DDL)
