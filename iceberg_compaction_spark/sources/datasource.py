@@ -33,9 +33,9 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -264,6 +264,13 @@ class _StreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
         self._options = options
         self._schema = schema
+        # Spark source convention (Kafka's failOnDataLoss): by default a
+        # checkpointed start snapshot that has been expired fails the
+        # stream loudly; failOnDataLoss=false resumes from the earliest
+        # retained ancestor instead (the expired gap is skipped — the
+        # documented at-most-once trade of the option).
+        raw = options.get("failondataloss", options.get("failOnDataLoss", "true"))
+        self._fail_on_loss = str(raw).lower() != "false"
 
     def initialOffset(self) -> dict:
         start = self._options.get("starting_snapshot_id")
@@ -284,17 +291,32 @@ class _StreamReader(DataSourceStreamReader):
         across base-manifest collapses."""
         from iceberg_compaction_spark.sources import manifest as mf
 
-        chain = []
-        s = end_sid
+        chain, s, lost = [], end_sid, False
         while s is not None and s != start_sid:
-            snap = table.snapshot(s)
+            try:
+                snap = table.snapshot(s)
+            except FileNotFoundError:
+                lost = True  # ancestor expired mid-chain
+                break
             chain.append(snap)
             s = snap.get("parent_id")
-        if s != start_sid:
-            raise ValueError(
-                f"start snapshot {start_sid} is not an ancestor of {end_sid} "
-                "(expired or divergent); restart the stream"
-            )
+        if s != start_sid and not lost and start_sid is not None:
+            lost = True  # walked to the root without meeting start: divergent
+        if lost:
+            if self._fail_on_loss:
+                raise ValueError(
+                    f"start snapshot {start_sid} is not a retained ancestor of "
+                    f"{end_sid} (expired or divergent); restart the stream, or "
+                    "set failOnDataLoss=false to resume from the earliest "
+                    "retained snapshot (skipping the expired range)"
+                )
+            # earliest-retained fallback (Kafka's auto.offset.reset
+            # earliest shape): keep the retained suffix of the chain.
+            # When the walk broke on a missing parent, the boundary
+            # snapshot's own diff needs that parent's manifest — gone —
+            # so its adds sit inside the skipped range too.
+            if chain and s is not None:
+                chain.pop()
         out = []
         for snap in reversed(chain):
             if snap.get("operation") not in ("append", "merge"):
@@ -384,17 +406,23 @@ class _WriteMessage(WriterCommitMessage):
     paths: tuple
 
 
-class _BatchWriter(DataSourceWriter):
+class _BatchWriter(DataSourceArrowWriter):
     """``df.write.format("icemaint").mode("append").save(location)`` —
     executor tasks stage parquet files under the table's data dir
-    (pyarrow, no Spark session needed), and ``commit`` turns the staged
+    (Arrow RecordBatches straight into ``pq.ParquetWriter``; no per-row
+    Python, no Spark session needed), and ``commit`` turns the staged
     files into ONE atomic append snapshot via the engine's commit
     protocol (footer stats → manifest rows driver-side; a crash before
     commit leaves unreferenced staged files for clean_orphan_files).
 
-    v1 scope: append mode on UNPARTITIONED tables (a partition spec's
-    derivation expr is Spark SQL, which these pyarrow write tasks
-    cannot evaluate — use ``Table.append_dataframe`` there)."""
+    Partitioned tables: the partition value is a materialized data
+    column (``_part``) derived by a Spark SQL expr, which these
+    SparkContext-free arrow tasks cannot evaluate — so the write must
+    carry the column, derived Spark-side by the caller
+    (``df.withColumn(field, F.expr(expr))``; the error message spells
+    out the exact call). Each task then runs an Iceberg-style fanout:
+    one file per partition value it sees, preserving the engine's
+    partition-purity invariant (``Table.write_data_files``)."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         import uuid
@@ -406,20 +434,26 @@ class _BatchWriter(DataSourceWriter):
             )
         self._options = options
         table = _load_table(options)
-        if table.meta.get("partition"):
-            raise NotImplementedError(
-                "icemaint writer v1 supports unpartitioned tables only; "
-                "use Table.append_dataframe for partitioned writes"
-            )
+        part = table.meta.get("partition")
+        self._part_field = part["field"] if part else None
         want_types = dict(_ddl_columns(table.meta["schema_ddl"]))
-        want = list(want_types)
         have_types = {
             f.name: f.dataType.simpleString().lower().replace(" ", "")
             for f in schema.fields
         }
+        if self._part_field:
+            if self._part_field not in have_types:
+                raise ValueError(
+                    f"partitioned table: derive the partition column "
+                    f"Spark-side before the write — df.withColumn("
+                    f"{self._part_field!r}, F.expr({part['expr']!r})) — or "
+                    "use Table.append_dataframe"
+                )
+            want_types[self._part_field] = "string"
+        want = list(want_types)
         if sorted(want) != sorted(have_types):
             raise ValueError(
-                f"schema mismatch: table columns {want}, dataframe "
+                f"schema mismatch: table columns {sorted(want)}, dataframe "
                 f"{sorted(have_types)}"
             )
         # types too — name-only validation would let an int64 frame
@@ -446,32 +480,54 @@ class _BatchWriter(DataSourceWriter):
         import uuid
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         _os.makedirs(self._stage, exist_ok=True)
-        path = _os.path.join(self._stage, f"part-{uuid.uuid4().hex[:12]}.parquet")
-        writer = None
-        buf: list[dict] = []
+        writers: dict = {}  # partition value (None for unpartitioned) → writer
+        paths: list[str] = []
+        # per-key row-group buffering: one write_table per ~64k rows,
+        # not one per (batch × partition)
+        pending: dict = {}
 
-        def flush():
-            nonlocal writer
-            if not buf:
+        def flush(key):
+            tables, _n = pending.pop(key, (None, 0))
+            if not tables:
                 return
-            batch = pa.Table.from_pylist(buf, schema=self._arrow_schema)
-            if writer is None:
-                writer = pq.ParquetWriter(path, self._arrow_schema)
-            writer.write_table(batch)
-            buf.clear()
+            if key not in writers:
+                p = _os.path.join(
+                    self._stage, f"part-{uuid.uuid4().hex[:12]}.parquet"
+                )
+                writers[key] = pq.ParquetWriter(p, self._arrow_schema)
+                paths.append(p)
+            writers[key].write_table(pa.concat_tables(tables))
 
-        for row in iterator:
-            buf.append({c: row[c] for c in self._ordered})
-            if len(buf) >= 65536:
-                flush()
-        flush()
-        if writer is None:
-            return _WriteMessage(paths=())  # empty task: no file
-        writer.close()
-        return _WriteMessage(paths=(path,))
+        def buffer(key, tbl):
+            tables, n = pending.get(key, ([], 0))
+            tables.append(tbl)
+            n += tbl.num_rows
+            pending[key] = (tables, n)
+            if n >= 65536:
+                flush(key)
+
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            # reorder + cast to the table's arrow schema (the incoming
+            # batch follows the dataframe's column order/session tz)
+            tbl = _pad_to_schema(pa.Table.from_batches([batch]), self._arrow_schema)
+            if self._part_field is None:
+                buffer(None, tbl)
+                continue
+            keys = tbl.column(self._part_field)
+            for v in pc.unique(keys).to_pylist():
+                mask = pc.is_null(keys) if v is None else pc.equal(keys, v)
+                buffer(v, tbl.filter(mask))
+        for key in list(pending):
+            flush(key)
+        for w in writers.values():
+            w.close()
+        return _WriteMessage(paths=tuple(paths))
 
     def commit(self, messages) -> None:
         from iceberg_compaction_spark.sources import manifest as mf
