@@ -227,3 +227,76 @@ def test_chunking_is_mapside_until_aggregation(spark):
     )
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ----------------------------------------------------------------------
+# round 6: MoR anti-join skew survival (VERDICT r5 task 2; SURVEY §4.2 —
+# the reference generates hot conversations, data_generator.rs:416-418,
+# and its planning ignores them; the north rule demands the join survive)
+def test_mor_antijoin_survives_hot_conv(spark, tmp_warehouse):
+    """One conv_id holds ~10× the rows of every other conversation and
+    an equality-delete set keys on conv_id alone (whole-conversation
+    deletes) — forced onto the shuffled (non-broadcast) path, the
+    exact shape that melts a single reducer at 10^12 turns. With AQE
+    skew-join on (the session default), the hot key's join partition
+    must SPLIT: the plan carries the skew markers, no surviving output
+    partition holds more than half the hot conversation, and the
+    result stays exact. (Payload is sha2-derived so shuffle sizes
+    reflect real bytes — compressible filler hides under the skew
+    thresholds.)"""
+    import pyspark.sql.functions as SF
+
+    from iceberg_compaction_spark.sources.table import Table
+
+    loc = os.path.join(tmp_warehouse, "skew_mor")
+    t = Table.create(loc, "conv_id string, turn_idx int, text string")
+    cold = spark.range(20_000).selectExpr(
+        "concat('conv_', cast(id % 40 as string)) as conv_id",
+        "cast(id as int) as turn_idx",
+        "concat(sha2(cast(id as string),256), sha2(cast(id+1 as string),256)) as text",
+    )
+    hot = spark.range(200_000).selectExpr(
+        "'conv_hot' as conv_id",
+        "cast(id + 1000000 as int) as turn_idx",
+        "concat(sha2(cast(id+7 as string),256), sha2(cast(id+9 as string),256)) as text",
+    )
+    t.append_dataframe(cold.unionAll(hot).repartition(8))
+    dels = spark.createDataFrame([(f"conv_{i}",) for i in range(10)], "conv_id string")
+    t.add_equality_deletes(dels, keys=["conv_id"])
+
+    confs = {
+        # force the at-scale shape: the delete join may not broadcast
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # scale AQE's skew thresholds down to test-sized data
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = t.scan(spark, inline_delete_threshold=0)  # no broadcast hint
+        # the agg references text so column pruning cannot shrink the
+        # shuffle under the thresholds (a full-row consumer's shape)
+        agg = out.groupBy(SF.spark_partition_id().alias("pid")).agg(
+            SF.count("*").alias("n"), SF.sum(SF.length("text")).alias("b")
+        )
+        rows_per_pid = {r["pid"]: r["n"] for r in agg.collect()}
+        # exactness first: 10 dropped convs × 500 rows each
+        assert sum(rows_per_pid.values()) == 220_000 - 5_000
+        # the executed plan took the shuffled path AND split the skew
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "skew=true" in plan, plan[:2000]
+        # spread gate: the hot conversation (200k of 215k surviving
+        # rows) must not sit in one reducer
+        assert max(rows_per_pid.values()) < 200_000 // 2, rows_per_pid
+        assert len(rows_per_pid) >= 4
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
