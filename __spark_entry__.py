@@ -10,13 +10,15 @@ non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
 driver's rows-only check; their correctness is pinned by tests/.
 
-Ordering note: the driver records a bounded prefix of this dict, so
-the LEAST-driver-proven queries come FIRST — the round-5 additions
-(eq-delete consolidation, binned spec migration), then the tail that
-round 4's driver file never reached (simhash/text/bm25/winnow/
-embedding/ivf), then the rows-only pair, then everything else
-newest-first; the longest-green round-1/2 basics sit last (each still
-covered every round by tests/test_oracle_parity.py).
+Ordering note: the driver records a bounded (50-row) prefix of this
+dict, so the LEAST-driver-proven queries come FIRST. Round-6 rotation:
+the 19 keys past round 5's window (r1/r2 basics through
+parallelism_formula, last driver-proven in r2-r4) lead, the flagship
+and engine core follow inside the window, and the round-5 additions —
+all freshly driver-proven in CORRECTNESS_r05 — take the tail. Every
+key, window or not, is replica-checked every round by
+tests/test_oracle_parity.py (same row-count + schema + value-multiset
+comparison at sf0.01).
 """
 
 from __future__ import annotations
@@ -40,29 +42,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round 5: never driver-checked yet ---
-        "eq_delete_consolidation": QP.q_eq_delete_consolidation,
-        "spec_migration_scan": QP.q_spec_migration_scan,
-        "decontamination": QP.q_decontamination,
-        "stratified_sample": QP.q_stratified_sample,
-        "repetition_metrics": QP.q_repetition_metrics,
-        "conversation_stats": QP.q_conversation_stats,
-        "merge_cow_roundtrip": QP.q_merge_cow_roundtrip,
-        "doc_chunks": QP.q_doc_chunks,
-        "packed_sequences": QP.q_packed_sequences,
-        "datasource_scan": QP.q_datasource_scan,
-        # --- round 4 tail the driver's 50-row window missed ---
-        "bm25_relevance": QP.q_bm25_relevance,
-        "simhash_fingerprint": QP.q_simhash_fingerprint,
-        "text_analysis": QP.q_text_analysis,
-        "winnow_fingerprints": QP.q_winnow_fingerprints,
-        "embedding_topk": QP.q_embedding_topk,
-        "embedding_dedup": QP.q_embedding_dedup,
-        "ivf_ann_topk": QP.q_ivf_ann_topk,
-        # --- rows-only by design (no SQL oracle) ---
-        "lsh_ann_topk": QP.q_lsh_ann_topk,
-        "multimodal_features": QP.q_multimodal_features,
-        # --- flagship + engine core (SURVEY.md §2), newest-first ---
+        # --- round 6 rotation: the 19 keys past round 5's 50-row
+        # --- driver window come FIRST so every query's driver proof is
+        # --- at most two rounds old ---
+        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
+        "minhash_band_signatures": QP.q_minhash_band_signatures,
+        "mor_position_delete": Q.q_mor_position_delete,
+        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
+        "exact_dedup": QP.q_exact_dedup,
+        "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
+        "zorder_key": Q.q_zorder_key,
+        "hilbert_key": Q.q_hilbert_key,
+        "pricing_summary": Q.q_pricing_summary,
+        "sessionization": Q.q_sessionization,
+        "hot_keys": Q.q_hot_keys,
+        "salted_aggregation": Q.q_salted_aggregation,
+        "topk_per_conversation": Q.q_topk_per_conversation,
+        "corpus_filter": QP.q_corpus_filter,
+        "delete_counts": Q.q_delete_counts,
+        "commit_summary_rollup": Q.q_commit_summary_rollup,
+        "size_histogram": Q.q_size_histogram,
+        "group_totals": Q.q_group_totals,
+        "parallelism_formula": Q.q_parallelism_formula,
+        # --- flagship + engine core (r5-proven; re-proven this round
+        # --- inside the window) ---
         "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
         "maintenance_lifecycle_scan": QP.q_maintenance_lifecycle_scan,
         "wap_publish_scan": QP.q_wap_publish_scan,
@@ -93,29 +96,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_file_dedup": Q.q_delete_file_dedup,
         "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
         "stream_sessionization": QP.q_stream_sessionization,
-        # --- training-data pipeline ---
         "neardup_clusters": QP.q_neardup_clusters,
-        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
-        "minhash_band_signatures": QP.q_minhash_band_signatures,
-        "mor_position_delete": Q.q_mor_position_delete,
-        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
-        "exact_dedup": QP.q_exact_dedup,
-        "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
-        "zorder_key": Q.q_zorder_key,
-        "hilbert_key": Q.q_hilbert_key,
-        # --- longest-green basics (rounds 1-4 triple-green; still
-        # --- replica-checked every round even past the driver window) ---
-        "pricing_summary": Q.q_pricing_summary,
-        "sessionization": Q.q_sessionization,
-        "hot_keys": Q.q_hot_keys,
-        "salted_aggregation": Q.q_salted_aggregation,
-        "topk_per_conversation": Q.q_topk_per_conversation,
-        "corpus_filter": QP.q_corpus_filter,
-        "delete_counts": Q.q_delete_counts,
-        "commit_summary_rollup": Q.q_commit_summary_rollup,
-        "size_histogram": Q.q_size_histogram,
-        "group_totals": Q.q_group_totals,
-        "parallelism_formula": Q.q_parallelism_formula,
+        # --- tail: round-5 additions, all driver-proven green in
+        # --- CORRECTNESS_r05 and replica-checked every round by
+        # --- tests/test_oracle_parity.py ---
+        "eq_delete_consolidation": QP.q_eq_delete_consolidation,
+        "spec_migration_scan": QP.q_spec_migration_scan,
+        "decontamination": QP.q_decontamination,
+        "stratified_sample": QP.q_stratified_sample,
+        "repetition_metrics": QP.q_repetition_metrics,
+        "conversation_stats": QP.q_conversation_stats,
+        "merge_cow_roundtrip": QP.q_merge_cow_roundtrip,
+        "doc_chunks": QP.q_doc_chunks,
+        "packed_sequences": QP.q_packed_sequences,
+        "datasource_scan": QP.q_datasource_scan,
+        "bm25_relevance": QP.q_bm25_relevance,
+        "simhash_fingerprint": QP.q_simhash_fingerprint,
+        "text_analysis": QP.q_text_analysis,
+        "winnow_fingerprints": QP.q_winnow_fingerprints,
+        "embedding_topk": QP.q_embedding_topk,
+        "embedding_dedup": QP.q_embedding_dedup,
+        "ivf_ann_topk": QP.q_ivf_ann_topk,
+        # rows-only by design (no SQL oracle; self-gating in-query)
+        "lsh_ann_topk": QP.q_lsh_ann_topk,
+        "multimodal_features": QP.q_multimodal_features,
     }
 
 

@@ -372,11 +372,13 @@ FROM ranked WHERE rn = 1 OR o_orderdate >= TIMESTAMP '1995-01-01'
 
 def q_orphan_files_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 cleanOrphanFiles: storage listing ANTI JOIN live-file set
-    (part = listing, lineitem references = live)."""
+    (part = listing, recent high-volume lineitem references = live).
+    The reference predicate keeps the result NON-EMPTY at every test
+    SF — a 0-vs-0 oracle match proves nothing about the join."""
     _utc(spark)
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    live = li.select("l_partkey").distinct()
+    live = li.filter(F.col("l_quantity") > 45).select("l_partkey").distinct()
     return (
         p.join(live, p.p_partkey == live.l_partkey, "left_anti")
         .select(F.col("p_partkey").alias("orphan_id"), "p_name")
@@ -386,7 +388,9 @@ def q_orphan_files_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORPHAN_FILES_ANTIJOIN_SQL = """
 SELECT p.p_partkey AS orphan_id, p.p_name
 FROM part p
-ANTI JOIN (SELECT DISTINCT l_partkey FROM lineitem) l ON p.p_partkey = l.l_partkey
+ANTI JOIN (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45
+) l ON p.p_partkey = l.l_partkey
 """
 
 
