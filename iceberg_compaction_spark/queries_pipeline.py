@@ -11,6 +11,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_compaction_spark import benchphase
 from iceberg_compaction_spark.queries import _t, _utc
 
 # Shared normalization (Spark + DuckDB spellings kept in lockstep)
@@ -602,17 +603,21 @@ def q_transcripts_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> Data
     tdir = tempfile.mkdtemp(prefix="icemaint_flagship_")
     loc = os.path.join(tdir, "transcripts")
     try:
-        table = Table.create(loc, TRANSCRIPT_DDL)
-        base = build_transcripts_from_events(spark, sf_dir)
-        table.append_dataframe(base.repartition(16, F.xxhash64("conv_id", "turn_idx")))
-        # delete keys come from the *written table*, not the unmaterialized
-        # lineage (which would re-run the events window end-to-end)
-        dels = (
-            table.scan(spark)
-            .filter(F.col("turn_idx") % 7 == 3)
-            .select("conv_id", "turn_idx")
-        )
-        table.add_equality_deletes(dels, keys=["conv_id", "turn_idx"])
+        with benchphase.phase("build"):  # fixture, not the measured op
+            table = Table.create(loc, TRANSCRIPT_DDL)
+            base = build_transcripts_from_events(spark, sf_dir)
+            table.append_dataframe(
+                base.repartition(16, F.xxhash64("conv_id", "turn_idx"))
+            )
+            # delete keys come from the *written table*, not the
+            # unmaterialized lineage (which would re-run the events
+            # window end-to-end)
+            dels = (
+                table.scan(spark)
+                .filter(F.col("turn_idx") % 7 == 3)
+                .select("conv_id", "turn_idx")
+            )
+            table.add_equality_deletes(dels, keys=["conv_id", "turn_idx"])
         cfg = CompactionConfig(
             selection=SelectionStrategy.FULL,
             group_target_size_bytes=8 << 20,
@@ -1105,9 +1110,10 @@ def q_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = tempfile.mkdtemp(prefix="icemaint_prune_")
     loc = os.path.join(tdir, "transcripts")
     try:
-        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        base = build_transcripts_from_events(spark, sf_dir)
-        table.append_dataframe(base)
+        with benchphase.phase("build"):  # fixture, not the measured op
+            table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+            base = build_transcripts_from_events(spark, sf_dir)
+            table.append_dataframe(base)
         n_total = len(table.files(content="data"))
         out = table.scan(
             spark,
@@ -1203,13 +1209,15 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = tempfile.mkdtemp(prefix="icemaint_bloom_")
     loc = os.path.join(tdir, "transcripts")
     try:
-        table = Table.create(
-            loc, TRANSCRIPT_DDL, bloom={"columns": ["conv_id"], "fpp": 0.01, "ndv": 10_000}
-        )
-        base = build_transcripts_from_events(spark, sf_dir)
-        table.append_dataframe(base.repartition(16, "conv_id"))
+        with benchphase.phase("build"):  # fixture, not the measured op
+            table = Table.create(
+                loc, TRANSCRIPT_DDL,
+                bloom={"columns": ["conv_id"], "fpp": 0.01, "ndv": 10_000},
+            )
+            base = build_transcripts_from_events(spark, sf_dir)
+            table.append_dataframe(base.repartition(16, "conv_id"))
+            key = base.agg(F.min("conv_id")).first()[0]
         n_total = len(table.files(content="data"))
-        key = base.agg(F.min("conv_id")).first()[0]
         out = table.scan(spark, filter=f"conv_id = '{key}'").select(
             "conv_id", "turn_idx", "role", F.unix_timestamp("ts").alias("ts_epoch")
         )
