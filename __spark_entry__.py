@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 69 queries, 67 of them
+training-data pipeline operators — 71 queries, 69 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- round 6: never driver-checked yet ---
+        "pii_redaction": QP.q_pii_redaction,
+        "datasource_write_roundtrip": QP.q_datasource_write_roundtrip,
         # --- round 6 rotation: the 19 keys past round 5's 50-row
         # --- driver window come FIRST so every query's driver proof is
         # --- at most two rounds old ---
@@ -125,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_redaction": QP.PII_REDACTION_SQL,
+        "datasource_write_roundtrip": QP.DATASOURCE_WRITE_ROUNDTRIP_SQL,
         "eq_delete_consolidation": QP.EQ_DELETE_CONSOLIDATION_SQL,
         "spec_migration_scan": QP.SPEC_MIGRATION_SCAN_SQL,
         "decontamination": QP.DECONTAMINATION_SQL,

@@ -286,3 +286,37 @@ def repetition_metrics(
             F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# round 6: PII redaction — the corpus-curation pass every training-data
+# pipeline runs before anything ships. Pure built-ins (JVM regex inside
+# whole-stage codegen), map-only: zero shuffles, zero Python.
+#
+# Pattern dialect is the RE2/Java COMMON SUBSET (no lookaround, no \b)
+# so the DuckDB oracle runs the byte-identical patterns.
+PII_RULES: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", rules: tuple = PII_RULES
+) -> DataFrame:
+    """Per-rule match counts (on the ORIGINAL text, order-independent)
+    plus ``<text_col>_redacted`` with placeholders substituted in rule
+    order (email before ipv4, so a dotted-quad inside an email domain
+    redacts as part of the email). Counts are bigint for oracle-type
+    parity (DuckDB ``len(regexp_extract_all(...))``)."""
+    t = F.col(text_col)
+    cols = list(df.columns)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _tok in rules
+    ]
+    red = t
+    for _name, pat, tok in rules:
+        red = F.regexp_replace(red, pat, tok)
+    return df.select(*cols, *counts, red.alias(f"{text_col}_redacted"))

@@ -2098,3 +2098,123 @@ SELECT conv_id, turn_idx, text, _change AS _change_type FROM (
   SELECT conv_id, turn_idx, text, 'delete' FROM base WHERE turn_idx % 7 = 3
 ) u(conv_id, turn_idx, text, _change)
 """
+
+
+# ======================================================================
+# round 6 additions
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: PII redaction over documents (emails, phone
+    numbers, dotted-quad IPs → placeholders) with per-rule match
+    counts. Deterministic PII is injected from doc fields so the
+    operator is exercised non-vacuously at every SF; patterns are the
+    RE2/Java common subset so DuckDB runs the byte-identical regexes.
+    Map-only: one projection, JVM regex in whole-stage codegen, zero
+    shuffles (reference contrast: the engine has no text ops at all —
+    this is §2.12 pipeline surface)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.textql import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 from 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(inj)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+PII_REDACTION_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-867-5309 from 10.0.0.'
+              || CAST(doc_id % 255 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(text, '{_PII_IP}')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+FROM inj
+"""
+
+
+def q_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: the connector's Arrow WRITE path, driver-proven — a
+    day-partitioned table is populated ENTIRELY through
+    ``df.write.format("icemaint")`` (caller-derived ``_part``,
+    per-task fanout, one atomic append commit) and read back through
+    the connector; the relation must equal the plain SQL lineage.
+    Self-gated against the native scan and partition purity."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources import manifest as mf
+    from iceberg_compaction_spark.sources.datasource import register
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    register(spark)
+    tdir = tempfile.mkdtemp(prefix="icemaint_dswrite_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+        base = build_transcripts_from_events(spark, sf_dir)
+        expr = table.meta["partition"]["expr"]
+        (
+            # the writer type-checks against the table DDL (timestamp =
+            # LTZ); events parquet infers ts as NTZ — cast explicitly
+            base.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("_part", F.expr(expr))
+            .repartition(4)
+            .write.format("icemaint")
+            .mode("append")
+            .save(loc)
+        )
+        table = Table.load(loc)
+        files = table.files(content=mf.CONTENT_DATA)
+        if not files or any(not r["partition"] for r in files):
+            raise AssertionError("fanout wrote a partition-impure or empty file set")
+        via_ds = spark.read.format("icemaint").load(loc)
+        out = via_ds.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        got = spark.read.parquet(result_dir)
+        if got.count() != table.scan(spark).count():
+            raise AssertionError("connector write/read diverges from native scan")
+        return got
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+DATASOURCE_WRITE_ROUNDTRIP_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base
+"""

@@ -164,3 +164,27 @@ def test_dangling_cleanup_uses_files_df(spark, tmp_warehouse):
         for r in spark.read.parquet(p["path"]).select(FILE_COL).distinct().collect()
     }
     assert victim not in refs  # dangling entries gone
+
+
+def test_redact_pii_rules(spark):
+    """PII redaction: counts on the original text, placeholders in
+    rule order, non-PII text untouched, map-only plan."""
+    from iceberg_compaction_spark.operators.textql import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@d-e.org and x@y.io, call 555-867-5309, from 10.0.0.7"),
+            (2, "no pii here at all"),
+            (3, "ip 192.168.001.255 twice 192.168.001.255"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 1, 1)
+    assert "<EMAIL>" in out[1]["text_redacted"] and "<PHONE>" in out[1]["text_redacted"]
+    assert "@" not in out[1]["text_redacted"]
+    assert out[2]["text_redacted"] == "no pii here at all"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 0, 0)
+    assert out[3]["n_ipv4"] == 2 and out[3]["text_redacted"].count("<IP>") == 2
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan  # map-only, JVM-side
