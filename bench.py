@@ -55,6 +55,7 @@ HEADLINE = [
     "bloom_point_lookup",
     "paragraph_dedup",
     "decontamination",  # round 5: broadcast n-gram overlap vs benchmark set
+    "pii_redaction",  # round 6: map-only JVM-regex curation pass
 ]
 
 
