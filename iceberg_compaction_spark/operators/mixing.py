@@ -1,0 +1,128 @@
+"""Training-mix assembly: temperature-based domain rebalancing and
+deterministic shard export.
+
+Companion to ``dedup.stratified_sample`` (explicit per-stratum
+fractions): here the fractions are *derived from the corpus itself* —
+the multilingual-LM "temperature sampling" scheme that flattens a
+skewed source distribution — and the export side materializes the
+training order as hash-sharded, hash-ordered files.
+
+Everything is deterministic and engine-portable (md5 arithmetic, no
+RNG), so results are identical across cluster sizes, retries, and the
+DuckDB oracle — the property that makes a 100 TB pipeline re-runnable.
+The reference engine has no corpus surface (SURVEY §2.12 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: md5-prefix keep threshold domain: first 8 hex chars as an integer
+#: in [0, 2^32). A fraction f keeps ids whose prefix < floor(f·2^32).
+_HASH_SPACE = 1 << 32
+
+
+def _hash32(col) -> "F.Column":
+    """First 32 bits of md5(value) as a long in [0, 2^32) — the
+    deterministic uniform draw shared with the DuckDB oracle
+    (('0x' || substr(md5(x), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def temperature_fractions(
+    df: DataFrame, source_col: str = "source", alpha: float = 0.5,
+    base_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-source keep fractions that flatten the source distribution
+    with temperature ``alpha``: f_s = base_fraction · (n_max/n_s)^(1-α),
+    capped at 1. α=1 keeps every source at ``base_fraction`` (no
+    rebalance); α=0 targets equal post-sample counts per source; the
+    α=0.5 default is the sqrt-flattening used for multilingual mixes.
+
+    Anchoring on n_max (not a normalizing sum) is deliberate: max() of
+    integers is exact and order-independent, and with α=0.5 the only
+    non-exact step is IEEE sqrt (correctly rounded by spec), so the
+    fraction is BIT-IDENTICAL in any engine — a floating-point sum
+    across sources would depend on addition order. Fractions are
+    rounded to 6 decimals before thresholding for the same reason
+    (documented ±ulp guard for non-half alphas, where pow() is only
+    faithfully rounded).
+
+    One tiny aggregate (|sources| rows) + a window over it; nothing
+    touches the driver."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    n_max = F.max("_n").over(Window.partitionBy())
+    ratio = n_max / F.col("_n")
+    scale = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    frac = F.round(F.least(F.lit(1.0), F.lit(base_fraction) * scale), 6)
+    return counts.select(source_col, F.col("_n").alias("n_source"), frac.alias("keep_frac"))
+
+
+def mixture_resample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    base_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministically resample the corpus to the temperature-α
+    mixture: broadcast-join the per-source fractions (|sources| rows)
+    and keep rows whose 32-bit md5 draw falls under the threshold.
+    Map-side except the fraction broadcast — no data-sized shuffle, and
+    the same rows survive at any parallelism."""
+    fracs = temperature_fractions(df, source_col, alpha, base_fraction)
+    thresh = F.floor(F.col("keep_frac") * F.lit(float(_HASH_SPACE))).cast("long")
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .filter(_hash32(F.col(id_col)) < thresh)
+        .drop("n_source", "keep_frac")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "train-v1",
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets
+    a shard in [0, n_shards) and a dense 1-based rank inside its shard,
+    both pure functions of (seed, id). Changing the seed reshuffles;
+    re-running at any cluster size reproduces the exact order — the
+    property checkpointed training needs from its data loader.
+
+    shard = md5₃₂(seed:id) mod n_shards; within-shard order is the
+    hash value itself (id as tiebreak for the 2⁻³² collision case).
+    One shuffle (the per-shard window); shard keys are uniform by
+    construction, so the window never sees a hot key at any scale."""
+    key = _hash32(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.withColumn("sort_key", key)
+        .withColumn("shard", (F.col("sort_key") % n_shards).cast("int"))
+        .withColumn("shard_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def write_shards(
+    df: DataFrame, path: str, n_shards: int, id_col: str = "doc_id",
+    seed: str = "train-v1",
+) -> None:
+    """Materialize the export: one directory per shard
+    (``shard=K/``), rows within each file in shard_rank order.
+    ``repartition(shard)`` + ``sortWithinPartitions`` keeps the write
+    single-pass (the window in export_shards already shuffled by the
+    same key, so AQE coalesces rather than re-exchanging)."""
+    out = export_shards(df, n_shards, id_col, seed)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_rank")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

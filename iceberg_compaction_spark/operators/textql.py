@@ -320,3 +320,115 @@ def redact_pii(
     for _name, pat, tok in rules:
         red = F.regexp_replace(red, pat, tok)
     return df.select(*cols, *counts, red.alias(f"{text_col}_redacted"))
+
+
+# ----------------------------------------------------------------------
+# hashed linear classifier (quality-model scoring plumbing)
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 256,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Bag-of-words linear classifier over hashed token features — the
+    fasttext-style quality-model scoring pass every corpus pipeline
+    runs, expressed entirely in built-ins so it rides the scan
+    (map-only, zero shuffles, no Python in the loop).
+
+    Each token hashes to a bucket in [0, dim) via its first 32 md5
+    bits; the document score is the mean bucket weight. With
+    ``weights`` given, the (broadcast-literal) model array is real —
+    plug a trained model in. With ``weights=None`` the weight is
+    DERIVED from the bucket id (Knuth-hash → integer milli-weight in
+    [-500, 500)), which keeps the whole computation reproducible by an
+    external SQL oracle with no side-channel model table.
+
+    Determinism note: the per-token sum is carried in exact INTEGER
+    millis via ``aggregate`` over the token array — floating-point
+    addition order can differ between engines, integer addition
+    cannot — and becomes a double only in the final single division.
+
+    Adds: n_toks (long), score_milli_sum (long), score (double),
+    label (boolean, score > 0)."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(text_col), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+    bucket = lambda tok: (  # noqa: E731
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+    )
+    if weights is None:
+        # Knuth multiplicative hash of the bucket id → millis in [-500, 500)
+        w_milli = lambda tok: F.pmod(bucket(tok) * 2654435761, 1000) - 500  # noqa: E731
+    else:
+        if len(weights) != dim:
+            raise ValueError(f"weights has {len(weights)} entries, dim={dim}")
+        arr = F.lit([int(round(w * 1000)) for w in weights])
+        w_milli = lambda tok: F.element_at(arr, (bucket(tok) + 1).cast("int")).cast("long")  # noqa: E731
+    milli_sum = F.aggregate(
+        "_toks", F.lit(0).cast("long"), lambda acc, tok: acc + w_milli(tok)
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("n_toks", F.size("_toks").cast("long"))
+        .withColumn("score_milli_sum", milli_sum)
+        .withColumn(
+            "score",
+            F.col("score_milli_sum") / (F.col("n_toks") * 1000.0),
+        )
+        .withColumn("label", F.col("score") > 0)
+        .drop("_toks")
+    )
+
+
+# ----------------------------------------------------------------------
+# C4-style line-level cleaning
+_LINE_STOPWORDS = ("the", "a")
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    line_tokens: int = 8,
+    min_words: int = 5,
+    stopwords: tuple = _LINE_STOPWORDS,
+    banned: tuple = ("slow",),
+) -> DataFrame:
+    """C4-style line filtering (Raffel et al. 2020 §2.2: drop lines
+    with too few words, no terminal punctuation / no natural-language
+    marker, or containing blocklisted terms), re-expressed over this
+    corpus's structure: the synthetic documents carry no newlines, so
+    "lines" are fixed ``line_tokens`` windows — the rule engine, not
+    the segmentation, is the operator. A real corpus passes its own
+    segmentation by splitting on '\\n' upstream.
+
+    A line survives when it has ≥ ``min_words`` tokens, contains at
+    least one ``stopwords`` marker (C4's "natural language" proxy),
+    and no ``banned`` term. Map-only built-ins: slicing + higher-order
+    filter, zero shuffles, zero Python.
+
+    Adds: n_lines, n_kept_lines (long), text_clean (kept lines
+    rejoined)."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(text_col), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+    n_lines = F.ceil(F.size("_toks") / float(line_tokens)).cast("long")
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.slice("_toks", i * line_tokens + 1, line_tokens),
+    )
+    good = lambda ln: (  # noqa: E731
+        (F.size(ln) >= min_words)
+        & F.arrays_overlap(ln, F.lit(list(stopwords)))
+        & ~F.arrays_overlap(ln, F.lit(list(banned)))
+    )
+    kept = F.filter(lines, good)
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("n_lines", n_lines)
+        .withColumn("n_kept_lines", F.size(F.filter(lines, good)).cast("long"))
+        .withColumn(
+            "text_clean",
+            F.array_join(F.transform(kept, lambda ln: F.array_join(ln, " ")), " "),
+        )
+        .drop("_toks")
+    )

@@ -2218,3 +2218,242 @@ WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM base
 """
+
+
+# ======================================================================
+# round 6: substring-level duplicate-span detection / trimming
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: cross-document duplicate PASSAGE detection — maximal
+    token spans covered by 4-grams occurring in ≥2 distinct documents
+    (the distributed re-expression of suffix-array substring dedup,
+    Lee et al. 2022). Gram-key shuffle → count-distinct → equi-join →
+    gaps-and-islands window; no cross product, no collect."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.spans import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, n=4, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+DUPLICATE_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM h),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM m)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 3 AS BIGINT) AS span_end,
+       CAST(max(pos) + 3 - min(pos) + 1 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, isl
+"""
+
+
+def q_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: the destructive half of substring dedup — rewrite each
+    document with its duplicated spans removed; per-doc token
+    accounting plus the md5 of the trimmed text (value-parity proof of
+    the rewritten corpus without shipping full texts to the oracle
+    compare)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.spans import trim_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = trim_duplicate_spans(docs, n=4, min_docs=2)
+    return out.select(
+        "doc_id", "n_tokens", "n_dup_tokens", F.md5("text_trimmed").alias("trimmed_md5")
+    )
+
+
+SPAN_TRIM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT doc_id, pos + k AS cp
+        FROM h, UNNEST(generate_series(0, 3)) AS v(k)),
+tokpos AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+kept AS (
+  SELECT tp.doc_id, tp.i, tp.tok
+  FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.i - 1 = c.cp
+  WHERE c.cp IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt, count(*) AS nk
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - coalesce(a.nk, 0) AS BIGINT) AS n_dup_tokens,
+       md5(coalesce(a.txt, '')) AS trimmed_md5
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ======================================================================
+# round 6: temperature mixture + shard export
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: temperature-α domain rebalancing — keep fractions
+    derived from the corpus's own (deliberately skewed) domain
+    distribution, f_d = base·sqrt(n_max/n_d) capped at 1, applied via
+    the deterministic md5 threshold. The documents table's ``source``
+    is uniform by construction, so the domain here is a derived skew
+    (60/20/10/10) — the operator's rebalancing is what's under test."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.mixing import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.when(F.col("doc_id") % 10 < 6, "web")
+        .when(F.col("doc_id") % 10 < 8, "books")
+        .when(F.col("doc_id") % 10 == 8, "code")
+        .otherwise("wiki"),
+    )
+    out = mixture_resample(docs, source_col="domain", alpha=0.5, base_fraction=0.5)
+    return out.select("doc_id", "domain", "lang")
+
+
+MIXTURE_RESAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 8 THEN 'books'
+              WHEN doc_id % 10 = 8 THEN 'code'
+              ELSE 'wiki' END AS domain
+  FROM documents),
+c AS (SELECT domain, count(*) AS n FROM d GROUP BY domain),
+f AS (
+  SELECT domain,
+         round(least(1.0, 0.5 * sqrt((SELECT max(n) FROM c) / CAST(n AS DOUBLE))), 6) AS kf
+  FROM c)
+SELECT doc_id, domain, lang
+FROM d JOIN f USING (domain)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CAST(floor(kf * 4294967296.0) AS BIGINT)
+"""
+
+
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: deterministic global shuffle for training export —
+    every row assigned a shard and a dense within-shard rank, both
+    pure functions of (seed, doc_id): identical at any cluster size,
+    which is what checkpointed training resume requires."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.mixing import export_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = export_shards(docs, n_shards=8, seed="train-v1")
+    return out.select("shard", "shard_rank", "doc_id")
+
+
+EXPORT_SHARDS_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('train-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS sort_key
+  FROM documents),
+s AS (SELECT doc_id, sort_key, CAST(sort_key % 8 AS INTEGER) AS shard FROM k)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS shard_rank,
+       doc_id
+FROM s
+"""
+
+
+# ======================================================================
+# round 6: hashed linear classifier + C4-style line cleaning
+def q_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: fasttext-style quality-model scoring over hashed
+    bag-of-words features, map-only in built-ins. The integer-milli
+    accumulator makes the score engine-exact (FP addition order never
+    enters); weights here are hash-derived so the oracle needs no
+    side-channel model table — a trained model plugs into the same
+    operator as a broadcast array literal."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.textql import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_linear_score(docs, dim=256)
+    # the float `score` stays operator-side: it is a single division of
+    # the integer fields below, and its 6-decimal rounding can land on
+    # an exact decimal half (e.g. 1047/16000) where engines' tie rules
+    # diverge — the oracle compares the exact integers instead
+    return out.select("doc_id", "n_toks", "score_milli_sum", "label")
+
+
+HASHED_CLASSIFIER_SQL = f"""
+WITH toks AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+tp AS (SELECT doc_id, t[i] AS tok
+       FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+b AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+      FROM tp),
+s AS (SELECT doc_id,
+             CAST(sum((bucket * 2654435761) % 1000 - 500) AS BIGINT) AS milli
+      FROM b GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_toks,
+       s.milli AS score_milli_sum,
+       s.milli > 0 AS label
+FROM toks t JOIN s USING (doc_id)
+"""
+
+
+def q_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: C4-style line-rule cleaning (Raffel et al. 2020 §2.2)
+    — min-words, natural-language marker, and blocklist rules per
+    line, document rebuilt from survivors. The synthetic corpus has no
+    newlines, so lines are fixed 8-token windows; the rule engine is
+    the operator under test. Map-only built-ins, zero shuffles."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.textql import clean_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    out = clean_lines(docs, line_tokens=8, min_words=5)
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", F.md5("text_clean").alias("clean_md5")
+    )
+
+
+LINE_CLEANING_SQL = f"""
+WITH toks AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+ln AS (
+  SELECT doc_id, i, t[(i * 8 + 1):(i * 8 + 8)] AS line
+  FROM toks,
+       UNNEST(generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS u(i)),
+good AS (
+  SELECT doc_id, i, line FROM ln
+  WHERE len(line) >= 5
+    AND list_has_any(line, ['the', 'a'])
+    AND NOT list_has_any(line, ['slow'])),
+agg AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(array_to_string(line, ' '), ' ' ORDER BY i) AS txt
+  FROM good GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(ceil(len(t.t) / 8.0) AS BIGINT) AS n_lines,
+       CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept_lines,
+       md5(coalesce(a.txt, '')) AS clean_md5
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
