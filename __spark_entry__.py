@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 77 queries, 75 of them
+training-data pipeline operators — 78 queries, 76 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": QP.q_export_shards,
         "hashed_classifier": QP.q_hashed_classifier,
         "line_cleaning": QP.q_line_cleaning,
+        "bucket_pruned_lookup": QP.q_bucket_pruned_lookup,
         "pii_redaction": QP.q_pii_redaction,
         "datasource_write_roundtrip": QP.q_datasource_write_roundtrip,
         # --- round 6 rotation: the 19 keys past round 5's 50-row
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": QP.EXPORT_SHARDS_SQL,
         "hashed_classifier": QP.HASHED_CLASSIFIER_SQL,
         "line_cleaning": QP.LINE_CLEANING_SQL,
+        "bucket_pruned_lookup": QP.BUCKET_PRUNED_LOOKUP_SQL,
         "pii_redaction": QP.PII_REDACTION_SQL,
         "datasource_write_roundtrip": QP.DATASOURCE_WRITE_ROUNDTRIP_SQL,
         "eq_delete_consolidation": QP.EQ_DELETE_CONSOLIDATION_SQL,

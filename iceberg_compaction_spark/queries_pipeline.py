@@ -2457,3 +2457,49 @@ SELECT t.doc_id,
        md5(coalesce(a.txt, '')) AS clean_md5
 FROM toks t LEFT JOIN agg a USING (doc_id)
 """
+
+
+def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: Iceberg-style bucket[16] hidden partitioning with
+    TRANSFORM PREDICATE PROJECTION (plans/transforms.py): the
+    ``conv_id = key`` point lookup is projected through
+    ``pmod(hash(conv_id), 16)`` to the exact bucket value, pruning
+    every other bucket's files — co-located key access without the
+    caller naming the partition column. Self-gates on ≥half the files
+    pruned; values checked against the plain SQL lineage (projection
+    is layered under the residual filter, so it can never change the
+    result)."""
+    _utc(spark)
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table, bucket_partition_spec
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_bucket_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        with benchphase.phase("build"):  # fixture, not the measured op
+            table = Table.create(
+                loc, TRANSCRIPT_DDL, partition=bucket_partition_spec("conv_id", 16)
+            )
+            base = build_transcripts_from_events(spark, sf_dir)
+            table.append_dataframe(base.repartition(4))
+            key = base.agg(F.max("conv_id")).first()[0]
+        n_total = len(table.files(content="data"))
+        out = table.scan(spark, filter=f"conv_id = '{key}'").select(
+            "conv_id", "turn_idx", "role", F.unix_timestamp("ts").alias("ts_epoch")
+        )
+        if table.last_scan_pruned_files < n_total // 2:
+            raise AssertionError(
+                f"bucket projection ineffective: {table.last_scan_pruned_files}/{n_total}"
+            )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+BUCKET_PRUNED_LOOKUP_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base WHERE conv_id = (SELECT max(conv_id) FROM base)
+"""

@@ -73,6 +73,21 @@ from iceberg_compaction_spark.sources import scan as scan_mod
 PART_COL = "_part"
 
 
+def bucket_partition_spec(source_col: str, n: int) -> dict:
+    """Iceberg-style ``bucket[n]`` hidden-partitioning spec: the
+    partition value is ``pmod(hash(col), n)`` as a string. Declaring
+    ``source_col`` opts the spec into transform predicate projection
+    (``plans/transforms.py``): a ``source_col = X`` / ``IN`` point
+    lookup prunes to exactly the matching bucket's files — the
+    co-location primitive that turns a 100 TB key lookup into a
+    1/n-of-files scan without the caller ever naming ``_part``."""
+    return {
+        "field": PART_COL,
+        "expr": f"CAST(pmod(hash({source_col}), {int(n)}) AS STRING)",
+        "source_col": source_col,
+    }
+
+
 class LockBusy(StorageError):
     retryable = True
 
@@ -1430,7 +1445,26 @@ class Table:
                     data_rows, filter, col_types=self.column_type_categories()
                 )
             self.last_scan_pruned_files = pruned
-            METRICS.inc("scan.files_pruned", pruned)
+            # transform predicate projection (Iceberg Projections): an
+            # = / IN predicate on the spec's declared source column
+            # maps to exact partition values — prunes buckets/dates the
+            # stats pruner can't see through the transform. Conservative
+            # (None on any doubt) and layered under the residual filter.
+            from iceberg_compaction_spark.plans import transforms
+
+            pvals = transforms.project_partition_values(
+                spark, self.meta.get("partition"), self.physical_schema(), filter
+            )
+            if pvals is not None:
+                before = len(data_rows)
+                # a file with no recorded partition value (mixed or
+                # legacy write) might hold matching rows: keep it
+                data_rows = [
+                    r for r in data_rows
+                    if not r.get("partition") or r["partition"] in pvals
+                ]
+                self.last_scan_pruned_files += before - len(data_rows)
+            METRICS.inc("scan.files_pruned", self.last_scan_pruned_files)
         METRICS.inc("scan.files_scanned", len(data_rows))
 
         if apply_mor_deletes and (pos_rows or eq_rows):

@@ -276,3 +276,98 @@ def test_clean_lines_rules(spark):
     assert r["n_lines"] == 4  # 26 tokens -> ceil(26/8)
     assert r["n_kept_lines"] == 1
     assert r["text_clean"] == keep_line
+
+
+# ----------------------------------------------------------------------
+# bucket transform predicate projection
+def test_bucket_projection_point_lookup(spark, tmp_warehouse):
+    """conv_id = K on a bucket[8] table prunes every other bucket's
+    files and returns exactly the plain-filter rows."""
+    from iceberg_compaction_spark.sources.generator import (
+        TRANSCRIPT_DDL,
+        transcripts_df,
+    )
+    from iceberg_compaction_spark.sources.table import Table, bucket_partition_spec
+
+    t = Table.create(
+        os.path.join(tmp_warehouse, "bkt"),
+        TRANSCRIPT_DDL,
+        partition=bucket_partition_spec("conv_id", 8),
+    )
+    t.append_dataframe(transcripts_df(spark, 8000, 40))
+    n_files = len(t.files(content="data"))
+    key = "conv_00000007"
+    expect = t.scan(spark).filter(f"conv_id = '{key}'").count()
+    got = t.scan(spark, filter=f"conv_id = '{key}'").count()
+    assert got == expect > 0
+    assert t.last_scan_pruned_files > n_files // 2
+
+    # IN over two keys: union of two buckets, still prunes
+    exp_in = t.scan(spark).filter(
+        "conv_id IN ('conv_00000003', 'conv_00000012')"
+    ).count()
+    got_in = t.scan(
+        spark, filter="conv_id IN ('conv_00000003', 'conv_00000012')"
+    ).count()
+    assert got_in == exp_in > 0 and t.last_scan_pruned_files > 0
+
+
+def test_bucket_projection_bails_on_unsound_predicates(spark, tmp_warehouse):
+    """An OR-disjunct without a source constraint can reach any bucket:
+    projection must not engage, and results stay exact."""
+    from iceberg_compaction_spark.sources.generator import (
+        TRANSCRIPT_DDL,
+        transcripts_df,
+    )
+    from iceberg_compaction_spark.sources.table import Table, bucket_partition_spec
+
+    t = Table.create(
+        os.path.join(tmp_warehouse, "bkt2"),
+        TRANSCRIPT_DDL,
+        partition=bucket_partition_spec("conv_id", 8),
+    )
+    t.append_dataframe(transcripts_df(spark, 4000, 20))
+    pred = "conv_id = 'conv_00000007' OR role = 'user'"
+    assert t.scan(spark, filter=pred).count() == t.scan(spark).filter(pred).count()
+
+
+def test_source_literals_extraction():
+    from iceberg_compaction_spark.plans.transforms import source_literals
+
+    assert source_literals("conv_id = 'x'", "conv_id") == ["x"]
+    assert source_literals("conv_id IN ('a', 'b') AND turn_idx > 3", "conv_id") == [
+        "a",
+        "b",
+    ]
+    # both disjuncts constrained -> union of values
+    assert source_literals(
+        "(conv_id = 'a' AND role = 'u') OR conv_id = 'b'", "conv_id"
+    ) == ["a", "b"]
+    # one disjunct unconstrained -> unsound -> None
+    assert source_literals("conv_id = 'a' OR role = 'u'", "conv_id") is None
+    # range predicates don't project through a hash bucket
+    assert source_literals("conv_id > 'a'", "conv_id") is None
+    assert source_literals("role = 'u'", "conv_id") is None
+
+
+def test_projection_never_drops_unknown_partition_files(spark, tmp_warehouse):
+    """Conservatism: a file with no recorded partition value (e.g. a
+    legacy mixed write) must survive projection."""
+    from iceberg_compaction_spark.plans import transforms
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table, bucket_partition_spec
+
+    t = Table.create(
+        os.path.join(tmp_warehouse, "bkt3"),
+        TRANSCRIPT_DDL,
+        partition=bucket_partition_spec("conv_id", 8),
+    )
+    pv = transforms.project_partition_values(
+        spark, t.meta["partition"], t.physical_schema(), "conv_id = 'k1'"
+    )
+    assert pv is not None and len(pv) == 1
+    # the scan-side keep rule: empty partition value is always kept
+    rows = [{"partition": "", "path": "a"}, {"partition": next(iter(pv)), "path": "b"},
+            {"partition": "notit", "path": "c"}]
+    kept = [r for r in rows if not r.get("partition") or r["partition"] in pv]
+    assert [r["path"] for r in kept] == ["a", "b"]
