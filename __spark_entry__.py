@@ -11,14 +11,14 @@ in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
 driver's rows-only check; their correctness is pinned by tests/.
 
 Ordering note: the driver records a bounded (50-row) prefix of this
-dict, so the LEAST-driver-proven queries come FIRST. Round-6 rotation:
-the 19 keys past round 5's window (r1/r2 basics through
-parallelism_formula, last driver-proven in r2-r4) lead, the flagship
-and engine core follow inside the window, and the round-5 additions —
-all freshly driver-proven in CORRECTNESS_r05 — take the tail. Every
-key, window or not, is replica-checked every round by
-tests/test_oracle_parity.py (same row-count + schema + value-multiset
-comparison at sf0.01).
+dict, so the LEAST-driver-proven queries come FIRST. Round-6 order:
+the 9 round-6 additions lead (never driver-checked), then the 19 keys
+past round 5's window (r1/r2 basics through parallelism_formula, last
+driver-proven in r2-r4), then the flagship and engine core; the
+round-5 additions — all freshly driver-proven in CORRECTNESS_r05 —
+take the tail. Every key, window or not, is replica-checked every
+round by tests/test_oracle_parity.py (same row-count + schema +
+value-multiset comparison at sf0.01).
 """
 
 from __future__ import annotations

@@ -56,6 +56,8 @@ HEADLINE = [
     "paragraph_dedup",
     "decontamination",  # round 5: broadcast n-gram overlap vs benchmark set
     "pii_redaction",  # round 6: map-only JVM-regex curation pass
+    "duplicate_spans",  # round 6: substring-level dedup (gram shuffle + islands)
+    "hashed_classifier",  # round 6: map-only hashed linear scoring
 ]
 
 

@@ -57,6 +57,12 @@ class CompactionConfig:
     # operational shape for hot-partition compaction — a year-long
     # table maintains today's partition without planning over history.
     partition_filter: Optional[tuple] = None
+    # Row-domain predicate scoping selection to data files whose column
+    # BOUNDS may match (Iceberg `rewrite_data_files(filter=...)`):
+    # matching files are rewritten WHOLE — the filter chooses
+    # candidates, it never drops rows. Conservative like scan pruning:
+    # an unparseable predicate selects everything.
+    row_filter: Optional[str] = None
 
     # --- execution ---
     # Rows per output file cap (reference writer.rs:139-143 caps 500K

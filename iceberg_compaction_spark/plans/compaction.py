@@ -178,7 +178,12 @@ class CompactionRunner:
         selected file), never data."""
         cfg = self.config
         files_df = self.table.files_df(self.spark, snapshot_id)
-        selected = select_files(self.spark, files_df, cfg)
+        selected = select_files(
+            self.spark,
+            files_df,
+            cfg,
+            col_types=self.table.column_type_categories() if cfg.row_filter else None,
+        )
         if cfg.grouping == GroupingStrategy.SINGLE:
             assigned = selected.select(
                 "path",

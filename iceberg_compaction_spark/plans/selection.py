@@ -67,15 +67,34 @@ def with_delete_counts(spark: SparkSession, files_df: DataFrame) -> DataFrame:
 
 
 def select_files(
-    spark: SparkSession, files_df: DataFrame, config: CompactionConfig
+    spark: SparkSession,
+    files_df: DataFrame,
+    config: CompactionConfig,
+    col_types: dict | None = None,
 ) -> DataFrame:
     """P2/P3/P4 over the manifest DataFrame, post content filter (P5).
     ``config.partition_filter`` scopes any strategy to named partitions
-    (hot-partition maintenance never plans over the table's history)."""
+    (hot-partition maintenance never plans over the table's history);
+    ``config.row_filter`` additionally scopes to data files whose
+    column bounds MAY match a row-domain predicate — Iceberg's
+    ``rewrite_data_files(filter=...)``, via the same conservative
+    stats evaluator the scan pruner uses (``plans/pruning_df``), so an
+    unprunable predicate degrades to selecting everything."""
     if config.partition_filter:
         files_df = files_df.filter(
             (F.col("content") != mf.CONTENT_DATA)
             | F.col("partition").isin(list(config.partition_filter))
+        )
+    if config.row_filter:
+        from iceberg_compaction_spark.plans.pruning_df import prune_files_df
+
+        data = prune_files_df(
+            files_df.filter(F.col("content") == mf.CONTENT_DATA),
+            config.row_filter,
+            col_types=col_types,
+        )
+        files_df = files_df.filter(F.col("content") != mf.CONTENT_DATA).unionByName(
+            data
         )
     strat = config.selection
     if strat == SelectionStrategy.FULL:

@@ -371,3 +371,77 @@ def test_projection_never_drops_unknown_partition_files(spark, tmp_warehouse):
             {"partition": "notit", "path": "c"}]
     kept = [r for r in rows if not r.get("partition") or r["partition"] in pv]
     assert [r["path"] for r in kept] == ["a", "b"]
+
+
+# ----------------------------------------------------------------------
+# filtered rewrite (Iceberg rewrite_data_files(filter=...))
+def test_row_filter_scopes_compaction(spark, tmp_warehouse):
+    """row_filter selects only data files whose bounds may match; the
+    rewrite touches those files whole and leaves the rest untouched,
+    and the table's row set is invariant."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import create_transcripts_table
+
+    t = create_transcripts_table(
+        spark,
+        os.path.join(tmp_warehouse, "rowf"),
+        n_turns=6000,
+        n_convs=30,
+        n_files=12,
+        partitioned=True,  # day partitions -> per-file ts bounds differ
+        ts_step_s=60,  # ~4 days of data -> several day partitions
+    )
+    before = {f["path"]: f for f in t.files(content="data")}
+    total_rows = t.scan(spark).count()
+    # cutoff: the max day partition — only that day's files qualify
+    days = sorted({f["partition"] for f in before.values()})
+    cut = days[-1]
+    cfg = CompactionConfig(
+        selection=SelectionStrategy.FULL,
+        grouping=GroupingStrategy.SINGLE,
+        row_filter=f"ts >= TIMESTAMP '{cut} 00:00:00'",
+    )
+    res = CompactionRunner(spark, t, cfg).execute()
+    matching = [p for p, f in before.items() if f["partition"] == cut]
+    assert res.input_files == len(matching) > 0
+    assert res.input_files < len(before)
+    after = {f["path"] for f in t.files(content="data")}
+    # untouched files survive; matching files were replaced
+    untouched = {p for p, f in before.items() if f["partition"] != cut}
+    assert untouched <= after
+    assert not (set(matching) & after)
+    assert t.scan(spark).count() == total_rows
+
+
+def test_row_filter_unparseable_selects_everything(spark, tmp_warehouse):
+    """Conservatism: a predicate the stats evaluator can't decompose
+    must not silently skip files — it selects all of them."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import create_transcripts_table
+
+    t = create_transcripts_table(
+        spark,
+        os.path.join(tmp_warehouse, "rowf2"),
+        n_turns=1200,
+        n_convs=10,
+        n_files=4,
+        partitioned=False,
+    )
+    n_files = len(t.files(content="data"))
+    cfg = CompactionConfig(
+        selection=SelectionStrategy.FULL,
+        grouping=GroupingStrategy.SINGLE,
+        row_filter="length(text) - 1 > 0",  # not bounds-decomposable
+    )
+    res = CompactionRunner(spark, t, cfg).execute()
+    assert res.input_files == n_files
