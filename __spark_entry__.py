@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 78 queries, 76 of them
+training-data pipeline operators — 79 queries, 77 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
@@ -12,7 +12,7 @@ driver's rows-only check; their correctness is pinned by tests/.
 
 Ordering note: the driver records a bounded (50-row) prefix of this
 dict, so the LEAST-driver-proven queries come FIRST. Round-6 order:
-the 9 round-6 additions lead (never driver-checked), then the 19 keys
+the 10 round-6 additions lead (never driver-checked), then the 19 keys
 past round 5's window (r1/r2 basics through parallelism_formula, last
 driver-proven in r2-r4), then the flagship and engine core; the
 round-5 additions — all freshly driver-proven in CORRECTNESS_r05 —
@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6: never driver-checked yet ---
+        "filtered_rewrite_scan": QP.q_filtered_rewrite_scan,
         "duplicate_spans": QP.q_duplicate_spans,
         "span_trim": QP.q_span_trim,
         "mixture_resample": QP.q_mixture_resample,
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "filtered_rewrite_scan": QP.FILTERED_REWRITE_SCAN_SQL,
         "duplicate_spans": QP.DUPLICATE_SPANS_SQL,
         "span_trim": QP.SPAN_TRIM_SQL,
         "mixture_resample": QP.MIXTURE_RESAMPLE_SQL,

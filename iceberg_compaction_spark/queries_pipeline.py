@@ -2503,3 +2503,80 @@ WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, role, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM base WHERE conv_id = (SELECT max(conv_id) FROM base)
 """
+
+
+def q_filtered_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: filtered rewrite — Iceberg's
+    ``rewrite_data_files(filter => ...)``, `CompactionConfig.row_filter`
+    (cf. reference full-table selection, file_selection.rs:29): a
+    day-partitioned table's recent-day files are compacted in place
+    while older files stay untouched. Selection is bounds-based via the
+    same conservative stats evaluator the scan pruner uses, and
+    matching files are rewritten WHOLE — the filter chooses candidates,
+    it never drops rows. Self-gated: the rewrite touches exactly the
+    files whose day >= the cutoff (>0 and < all), every untouched file
+    survives, every matching file is replaced; the post-rewrite full
+    scan must equal the plain base relation."""
+    _utc(spark)
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL, day_partition_spec
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_rowf_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        with benchphase.phase("build"):  # fixture, not the measured op
+            table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
+            base = build_transcripts_from_events(spark, sf_dir)
+            # two appends -> two files per day partition at ANY scale,
+            # so in-scope bins are never single-file no-op skips
+            table.append_dataframe(base.filter("turn_idx % 2 = 0"))
+            table.append_dataframe(base.filter("turn_idx % 2 = 1"))
+        before = {f["path"]: f["partition"] for f in table.files(content="data")}
+        cfg = CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.SINGLE,
+            row_filter=f"ts >= TIMESTAMP '{_RANGE_LO}'",
+        )
+        res = CompactionRunner(spark, table, cfg).execute()
+        cut_day = _RANGE_LO[:10]
+        matching = {p for p, day in before.items() if day >= cut_day}
+        if not (0 < len(matching) < len(before)):
+            raise AssertionError(
+                f"fixture degenerate: {len(matching)}/{len(before)} files match"
+            )
+        if res.input_files != len(matching):
+            raise AssertionError(
+                f"row_filter selected {res.input_files} files, "
+                f"bounds say exactly {len(matching)} match"
+            )
+        after = {f["path"] for f in table.files(content="data")}
+        untouched = set(before) - matching
+        if not untouched <= after:
+            raise AssertionError("filtered rewrite touched out-of-scope files")
+        if matching & after:
+            raise AssertionError("matching files survived the rewrite")
+        out = table.scan(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+FILTERED_REWRITE_SCAN_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM base
+"""
