@@ -659,6 +659,77 @@ def embedding_dedup(
 
 
 # ----------------------------------------------------------------------
+# incremental dedup against a persisted LSH index (round 6)
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The persisted LSH index relation for incremental dedup:
+    ``(id, band, signature)`` — ~``bands`` short rows per document, NOT
+    the text. A corpus's index is the only state a rolling ingest
+    pipeline keeps; at 10⁹ docs × 8 bands × ~50 B it is a few hundred
+    GB — joinable, and naturally bucketable on ``(band, signature)``."""
+    return minhash_signatures(df, id_col, text_col, n, bands, rows_per_band, hash_fn)
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    hash_fn: str = "md5",
+    intra: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW increment (today's crawl) against the accumulated
+    corpus WITHOUT rescanning the corpus: the index holds band
+    signatures only, so the probe is one equi-join of the increment's
+    signatures against the index on ``(band, signature)`` — any hit
+    drops the new doc. With ``intra`` (default) the increment is also
+    deduped against itself under the same banding first (smallest id
+    survives), so two copies arriving in the same batch don't both
+    slip past an index that predates them.
+
+    Returns ``(survivors, new_index_rows)``; append ``new_index_rows``
+    to the index table to absorb the increment. Signature params must
+    match the ones the index was built with (``minhash_index``).
+
+    Scale shape: signatures are computed for the INCREMENT only (the
+    corpus is never touched); both the intra self-join and the index
+    probe are equi-joins on near-uniform hash keys — no skew, no
+    cross product, and the index side streams (left-semi, no
+    materialization of matched rows)."""
+    sigs = minhash_signatures(
+        new_df, id_col, text_col, n, bands, rows_per_band, hash_fn
+    )
+    victims = sigs.join(
+        index_df.select("band", "signature"), ["band", "signature"], "left_semi"
+    ).select(id_col)
+    if intra:
+        smaller = sigs.select(
+            F.col(id_col).alias("_id_small"), "band", "signature"
+        )
+        intra_victims = (
+            sigs.join(smaller, ["band", "signature"])
+            .filter(F.col("_id_small") < F.col(id_col))
+            .select(id_col)
+        )
+        victims = victims.unionByName(intra_victims)
+    survivors = new_df.join(victims.distinct(), id_col, "left_anti")
+    new_index = sigs.join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+    return survivors, new_index
+
+
+# ----------------------------------------------------------------------
 # benchmark decontamination (round 5)
 def decontaminate(
     train_df: DataFrame,

@@ -2580,3 +2580,48 @@ WITH base AS ({TRANSCRIPTS_BASE_SQL})
 SELECT conv_id, turn_idx, role, text, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM base
 """
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: incremental dedup against a persisted LSH index — the
+    rolling-ingest shape: even-doc_id documents are the accumulated
+    corpus (only their ``minhash_index`` band signatures are kept),
+    odd-doc_id documents are today's increment. The increment is
+    deduped against itself and the index by ``(band, signature)``
+    equi-joins — the corpus text is never rescanned. Self-gated: some
+    increment docs must hit the index or each other, and the index
+    delta must be exactly bands rows per survivor."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    idx = minhash_index(old, bands=4)
+    survivors, new_index = incremental_minhash_dedup(new, idx, bands=4)
+    n_new, n_surv = new.count(), survivors.count()
+    if not (0 < n_surv < n_new):
+        raise AssertionError(f"degenerate increment: {n_surv}/{n_new} survive")
+    if new_index.count() != 4 * n_surv:
+        raise AssertionError("index delta is not bands rows per survivor")
+    return survivors.select("doc_id")
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH bands AS ({MINHASH_BAND_SIGNATURES_SQL}),
+new_b AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+old_b AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM new_b n JOIN old_b o ON n.band = o.band AND n.signature = o.signature
+  UNION
+  SELECT DISTINCT n.doc_id
+  FROM new_b n JOIN new_b m
+    ON n.band = m.band AND n.signature = m.signature AND m.doc_id < n.doc_id
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hit)
+"""

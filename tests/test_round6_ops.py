@@ -445,3 +445,72 @@ def test_row_filter_unparseable_selects_everything(spark, tmp_warehouse):
     )
     res = CompactionRunner(spark, t, cfg).execute()
     assert res.input_files == n_files
+
+
+# ----------------------------------------------------------------------
+# incremental dedup against a persisted LSH index
+def test_incremental_dedup_matches_batch(spark):
+    """When every corpus id is smaller than every increment id (so
+    batch LSH tie-breaking also keeps the corpus copy), incremental
+    dedup of the increment against the corpus index must keep exactly
+    the increment docs that signature-only batch LSH over the union
+    would keep."""
+    from iceberg_compaction_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+        minhash_lsh_dedup,
+    )
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "pack my box with five dozen liquor jugs for the long trip"),
+        (2, "completely unrelated text about spark dataframes and shuffles"),
+    ]
+    inc = [
+        (10, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 0
+        (11, "a brand new document nothing in the corpus resembles at all"),
+        (12, "a brand new document nothing in the corpus resembles at all"),  # intra dup of 11
+        (13, "pack my box with five dozen liquor jugs for the long trip"),  # dup of 1
+    ]
+    old = spark.createDataFrame(base, "doc_id long, text string")
+    new = spark.createDataFrame(inc, "doc_id long, text string")
+    idx = minhash_index(old, bands=4)
+    survivors, delta = incremental_minhash_dedup(new, idx, bands=4)
+    got = sorted(r["doc_id"] for r in survivors.collect())
+    batch = minhash_lsh_dedup(
+        old.unionByName(new), bands=4, verify_threshold=None
+    )
+    want = sorted(
+        r["doc_id"] for r in batch.collect() if r["doc_id"] >= 10
+    )
+    assert got == want == [11]
+    # the index delta holds exactly the survivors' bands
+    rows = delta.collect()
+    assert {r["doc_id"] for r in rows} == {11}
+    assert len(rows) == 4
+
+
+def test_incremental_dedup_index_absorbs_increment(spark):
+    """Appending the returned delta makes a re-run of the SAME
+    increment drop everything — the index absorbed it."""
+    from iceberg_compaction_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    old = spark.createDataFrame(
+        [(0, "seed document for the rolling corpus index state")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(5, "first fresh document arriving in the morning batch"),
+         (6, "unrelated prose about compaction bin packing strategies")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(old, bands=4)
+    survivors, delta = incremental_minhash_dedup(new, idx, bands=4)
+    assert survivors.count() == 2
+    idx2 = idx.unionByName(delta)
+    again, delta2 = incremental_minhash_dedup(new, idx2, bands=4)
+    assert again.count() == 0
+    assert delta2.count() == 0
