@@ -158,6 +158,129 @@ def stream_upsert(
     return writer.start()
 
 
+def stream_dedup_append(
+    stream_df: DataFrame,
+    table: Table,
+    index_table: Table,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    hash_fn: str = "md5",
+    trigger: dict | None = None,
+):
+    """Streaming ingest with inline near-dup rejection: every
+    micro-batch is deduped against the accumulated corpus via its
+    persisted MinHash-LSH index (``incremental_minhash_dedup`` — the
+    corpus text is never rescanned), survivors are committed to
+    ``table``, and their band signatures are committed to
+    ``index_table`` so later batches see them.
+
+    Two tables, one exactly-once guarantee: each table carries its own
+    (stream_key, batch_id) guard. The corpus commits FIRST; the index
+    then absorbs every corpus snapshot it is behind on by re-reading
+    the committed rows (``incremental_scan`` of that snapshot) and
+    recomputing their signatures — so a crash between the two commits
+    costs nothing: the replayed batch skips the corpus write and the
+    index catch-up loop repairs the delta from durable state. (Index
+    first would be WRONG: a replay would find the batch's own
+    signatures in the index and drop every row — data loss.)
+
+    ``index_table`` schema must be ``{id_col} BIGINT, band INT,
+    signature STRING``."""
+    import hashlib
+    import os
+
+    from iceberg_compaction_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    stream_key = hashlib.md5(
+        (os.path.abspath(checkpoint_dir) + "|dedup").encode()
+    ).hexdigest()[:12]
+    corpus_last, corpus_record = _stream_guard(table, stream_key)
+    index_last, index_record = _stream_guard(index_table, stream_key)
+    state = {"corpus": corpus_last(), "index": index_last()}
+
+    def _index_df(spark):
+        if index_table.files(content="data"):
+            return index_table.scan(spark)
+        return spark.createDataFrame([], schema=index_table.schema())
+
+    def _absorb_pending(spark) -> None:
+        """Append to the index the signatures of every corpus snapshot
+        of this stream the index has not recorded yet (normal path:
+        exactly one; crash-recovery path: the one a dead run left)."""
+        pending = sorted(
+            (
+                int(s["summary"]["stream_batch_id"]), s
+            )
+            for s in table.snapshots()
+            if s.get("summary", {}).get("stream_key") == stream_key
+            and int(s["summary"].get("stream_batch_id", -1)) > state["index"]
+        )
+        for bid, snap in pending:
+            rows = table.incremental_scan(
+                spark, snap["parent_id"], snap["snapshot_id"],
+                columns=[id_col, text_col],
+            )
+            delta = minhash_index(
+                rows, id_col, text_col, n, bands, rows_per_band, hash_fn
+            )
+            infos = index_table.write_data_files(delta)
+            if infos:
+                index_table.commit(
+                    "append",
+                    added=infos,
+                    extra_summary={
+                        "stream_key": stream_key,
+                        "stream_batch_id": bid,
+                    },
+                )
+            index_record(bid)
+            state["index"] = bid
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id > state["corpus"]:
+            if batch_df.isEmpty():
+                return
+            survivors, _delta = incremental_minhash_dedup(
+                batch_df,
+                _index_df(spark),
+                id_col,
+                text_col,
+                n,
+                bands,
+                rows_per_band,
+                hash_fn,
+            )
+            infos = table.write_data_files(survivors)
+            if infos:
+                table.commit(
+                    "append",
+                    added=infos,
+                    extra_summary={
+                        "stream_key": stream_key,
+                        "stream_batch_id": int(batch_id),
+                    },
+                )
+            corpus_record(batch_id)
+            state["corpus"] = batch_id
+        _absorb_pending(spark)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def compact_if_needed(spark, table: Table, config=None, min_small_files: int = 8) -> bool:
     """Incremental-compaction trigger: run a compaction only when the
     current snapshot holds at least ``min_small_files`` files under the

@@ -32,3 +32,103 @@ def test_stream_append_and_compact(spark, tmp_warehouse):
     assert compact_if_needed(spark, t, cfg, min_small_files=2) is True
     assert t.scan(spark).count() == 2000
     assert len(t.files(content="data")) < 4 + 1
+
+
+DOC_DDL = "doc_id BIGINT, text STRING"
+INDEX_DDL = "doc_id BIGINT, band INT, signature STRING"
+
+
+def test_stream_dedup_append_rejects_dups_across_batches(spark, tmp_warehouse):
+    """Batch 2's duplicates of batch-1 docs are dropped by the index
+    probe alone — the corpus table is never rescanned — and the index
+    absorbs each batch's survivors."""
+    from iceberg_compaction_spark.streaming.ingest import stream_dedup_append
+
+    t = Table.create(os.path.join(tmp_warehouse, "corpus"), DOC_DDL)
+    idx = Table.create(os.path.join(tmp_warehouse, "index"), INDEX_DDL)
+    src = os.path.join(tmp_warehouse, "docs_in")
+    ckpt = os.path.join(tmp_warehouse, "dedup_ckpt")
+    schema = "doc_id long, text string"
+
+    batch1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated text about spark dataframes and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),  # intra dup
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_dedup_append(stream, t, idx, ckpt, bands=4)
+    q.awaitTermination(120)
+
+    got1 = sorted(r["doc_id"] for r in t.scan(spark).collect())
+    assert got1 == [1, 2]
+    assert idx.scan(spark).count() == 2 * 4  # bands rows per survivor
+
+    batch2 = [
+        (10, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+        (11, "a brand new document nothing in the corpus resembles at all"),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_dedup_append(stream, t, idx, ckpt, bands=4)
+    q.awaitTermination(120)
+
+    got2 = sorted(r["doc_id"] for r in t.scan(spark).collect())
+    assert got2 == [1, 2, 11]
+    assert idx.scan(spark).count() == 3 * 4
+
+
+def test_stream_dedup_append_repairs_index_after_crash(spark, tmp_warehouse):
+    """Corpus-committed-but-index-missed is the designed crash window:
+    a corpus snapshot carrying the stream summary exists, the index
+    never recorded it. The next stream run's catch-up loop recomputes
+    that snapshot's signatures from the committed rows and repairs the
+    index without re-appending the data."""
+    import hashlib
+
+    from iceberg_compaction_spark.streaming.ingest import stream_dedup_append
+
+    t = Table.create(os.path.join(tmp_warehouse, "corpus2"), DOC_DDL)
+    idx = Table.create(os.path.join(tmp_warehouse, "index2"), INDEX_DDL)
+    ckpt = os.path.join(tmp_warehouse, "dedup_ckpt2")
+    stream_key = hashlib.md5(
+        (os.path.abspath(ckpt) + "|dedup").encode()
+    ).hexdigest()[:12]
+
+    # simulate the dead run: survivors committed to the corpus with the
+    # stream summary, crash before the index commit
+    schema = "doc_id long, text string"
+    committed = spark.createDataFrame(
+        [(7, "rows a dead run committed before its index write crashed")],
+        schema,
+    )
+    infos = t.write_data_files(committed)
+    t.commit(
+        "append",
+        added=infos,
+        extra_summary={"stream_key": stream_key, "stream_batch_id": 0},
+    )
+    assert idx.scan(spark).count() == 0
+
+    # replayed batch 0 (same data): corpus write must be skipped, the
+    # index must absorb snapshot 0's signatures
+    src = os.path.join(tmp_warehouse, "docs_in2")
+    committed.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_dedup_append(stream, t, idx, ckpt, bands=4)
+    q.awaitTermination(120)
+
+    assert t.scan(spark).count() == 1  # no double append
+    rows = idx.scan(spark).collect()
+    assert {r["doc_id"] for r in rows} == {7}
+    assert len(rows) == 4
+
+    # and a later duplicate of the repaired doc is now rejected
+    spark.createDataFrame(
+        [(9, "rows a dead run committed before its index write crashed")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_dedup_append(stream, t, idx, ckpt, bands=4)
+    q.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in t.scan(spark).collect()) == [7]
