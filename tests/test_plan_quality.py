@@ -300,3 +300,28 @@ def test_mor_antijoin_survives_hot_conv(spark, tmp_warehouse):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_plan_is_equijoin_only(spark):
+    """The index probe and intra self-join must compile to hash
+    equi-joins on (band, signature) with the index side semi/anti —
+    never a cartesian product, never Python in the plan. This is the
+    shape that keeps the probe O(|increment|) at a 10^9-doc index."""
+    from iceberg_compaction_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared tokens") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(docs.filter("doc_id < 10"), bands=4)
+    survivors, delta = incremental_minhash_dedup(
+        docs.filter("doc_id >= 10"), idx, bands=4
+    )
+    for df in (survivors, delta):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "LeftSemi" in plan or "LeftAnti" in plan
