@@ -90,9 +90,22 @@ def _embedding_topk_vectorized(spark, sf_dir):
     return brute_force_topk_vectorized(emb, emb.filter(F.col("vec_id") % 100 == 0), k=3)
 
 
+def _duplicate_spans_xxhash(spark, sf_dir):
+    """Bench-only: the narrow-shuffle flag for span dedup (8-byte
+    xxhash64 gram keys instead of gram strings). The driver's oracle
+    stays on strings (DuckDB-reproducible); this row quantifies the
+    production shuffle width."""
+    from iceberg_compaction_spark.operators.spans import duplicate_spans
+    from iceberg_compaction_spark.queries import _t, _utc
+
+    _utc(spark)
+    return duplicate_spans(_t(spark, sf_dir, "documents"), gram_hash=True)
+
+
 BENCH_ONLY = {
     "minhash_xxhash64": _minhash_xxhash64,
     "embedding_topk_vectorized": _embedding_topk_vectorized,
+    "duplicate_spans_xxhash": _duplicate_spans_xxhash,
 }
 
 

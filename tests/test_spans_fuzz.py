@@ -113,3 +113,19 @@ def test_export_shards_matches_python_model(spark, n_shards, seed):
     for rs in by_shard.values():
         rs.sort(key=lambda r: (r["sort_key"], r["doc_id"]))
         assert [r["shard_rank"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_strategy, st.integers(2, 3))
+def test_gram_hash_mode_is_equivalent(spark, texts, n):
+    """The production narrow-shuffle flag (xxhash64 gram keys) must
+    produce byte-identical spans to the string-key form."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    cols = ("doc_id", "span_start", "span_end", "span_len")
+    plain = {tuple(r[c] for c in cols)
+             for r in duplicate_spans(df, n=n, min_docs=2).collect()}
+    hashed = {tuple(r[c] for c in cols)
+              for r in duplicate_spans(df, n=n, min_docs=2, gram_hash=True).collect()}
+    assert plain == hashed
