@@ -2625,3 +2625,48 @@ hit AS (
 SELECT doc_id FROM documents
 WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hit)
 """
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: as-of join — each click event picks up the latest
+    at-or-before view event of the same user (`operators/asof.py`,
+    the union-tag + running-window form: ONE shuffle on user_id, no
+    pairwise join). The oracle is DuckDB's native ASOF LEFT JOIN.
+    Self-gated: both matched and never-matched clicks must exist."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(clicks, views, by="user_id")
+    n_match = out.filter(F.col("ts_r").isNotNull()).count()
+    n_miss = out.filter(F.col("ts_r").isNull()).count()
+    if not (n_match > 0 and n_miss > 0):
+        raise AssertionError(f"degenerate as-of fixture: {n_match} matched, {n_miss} missed")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("ts_r").alias("view_ts_epoch"),
+        F.col("view_event_id_r").alias("view_event_id"),
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts_epoch,
+       v.view_event_id AS view_event_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""

@@ -1,0 +1,86 @@
+"""As-of join vs a direct Python model over random tiny histories:
+per-key sorted scan picking the latest right row at-or-before (or
+earliest at-or-after) each left timestamp. Ties, empty sides, keys
+with no right history, and multi-key payloads all fall out of the
+random generation."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_compaction_spark.operators.asof import asof_join
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key
+        st.integers(0, 20),  # ts
+        st.integers(0, 99),  # value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _model(left, right, direction):
+    out = {}
+    for k, ts, v in left:
+        best = None
+        for rk, rts, rv in right:
+            if rk != k:
+                continue
+            if direction == "backward" and rts <= ts:
+                if best is None or rts > best[0]:
+                    best = (rts, rv)
+            if direction == "forward" and rts >= ts:
+                if best is None or rts < best[0]:
+                    best = (rts, rv)
+        out[(k, ts, v)] = best
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rows, _rows, st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_python_model(spark, left, right, direction):
+    # unique (key, ts) on the right — the documented determinism rule
+    right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
+    # unique left rows so the output multiset maps 1:1 onto the model
+    left = list({(k, ts, v) for k, ts, v in left})
+    if not left:
+        return
+    ldf = spark.createDataFrame(left, "key long, ts long, lval long")
+    rdf = spark.createDataFrame(
+        right or [(0, -999, 0)], "key long, ts long, rval long"
+    )
+    if not right:
+        rdf = rdf.filter("ts > 0")  # empty right side, schema kept
+    got = {
+        (r["key"], r["ts"], r["lval"]): (r["ts_r"], r["rval_r"])
+        for r in asof_join(ldf, rdf, by="key", direction=direction).collect()
+    }
+    want = _model(left, right if right else [], direction)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == (want[k] if want[k] else (None, None)), (k, direction)
+
+
+def test_asof_join_equal_ts_matches(spark):
+    """A right row at exactly the left ts matches (DuckDB >= tie rule),
+    in both directions."""
+    ldf = spark.createDataFrame([(1, 10, "l")], "key long, ts long, tag string")
+    rdf = spark.createDataFrame([(1, 10, "r")], "key long, ts long, rtag string")
+    for direction in ("backward", "forward"):
+        row = asof_join(ldf, rdf, by="key", direction=direction).collect()[0]
+        assert row["ts_r"] == 10 and row["rtag_r"] == "r", direction
+
+
+def test_asof_join_plan_is_single_window_no_join(spark):
+    """The plan must be union → one Exchange on the key → window —
+    never a join (the naive pairwise form explodes on hot keys)."""
+    ldf = spark.range(100).selectExpr("id % 5 AS key", "id AS ts", "id AS lval")
+    rdf = spark.range(50).selectExpr("id % 5 AS key", "id * 2 AS ts", "id AS rval")
+    df = asof_join(ldf, rdf, by="key")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
