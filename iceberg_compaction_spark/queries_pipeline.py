@@ -2670,3 +2670,48 @@ SELECT c.event_id, c.user_id,
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 """
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: range join — each click event matched to every 6-hour
+    error window of the same user it falls inside
+    (`operators/intervals.py`, the binning form: intervals explode to
+    overlapped bins, points map to ONE bin, equi-join + exact filter —
+    never a nested-loop join). Oracle: a plain DuckDB inequality join
+    (BETWEEN), executed natively by its IEJoin."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.intervals import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end"),
+        F.col("event_id").alias("err_id"),
+    )
+    out = range_join(clicks, errors, by="user_id", bin_width=21600.0)
+    if out.rdd.isEmpty():
+        raise AssertionError("degenerate range-join fixture: no pairs")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("err_id_r").alias("err_event_id"),
+        F.unix_timestamp("start_r").alias("err_start_epoch"),
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, ts AS estart, ts + INTERVAL 6 HOUR AS eend, event_id AS err_id
+  FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+       e.err_id AS err_event_id,
+       CAST(floor(epoch(e.estart)) AS BIGINT) AS err_start_epoch
+FROM clicks c JOIN errors e
+  ON c.user_id = e.user_id AND c.ts BETWEEN e.estart AND e.eend
+"""
