@@ -2715,3 +2715,71 @@ SELECT c.event_id, c.user_id,
 FROM clicks c JOIN errors e
   ON c.user_id = e.user_id AND c.ts BETWEEN e.estart AND e.eend
 """
+
+
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: incremental materialized rollup (the hypertable
+    continuous-aggregate shape, `operators/rollup.py`): events land in
+    two appends; each `refresh_rollup` folds ONLY the newly appended
+    files into per-event-type count/sum/min/max state and REPLACE-
+    commits the (tiny) rollup table. Self-gated: the second refresh's
+    delta is exactly the second append, and the two deltas partition
+    the input. The final state must equal the full-recompute SQL."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.rollup import refresh_rollup
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_roll_")
+    src_loc = os.path.join(tdir, "src")
+    roll_loc = os.path.join(tdir, "roll")
+    try:
+        ev_ddl = (
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        aggs = {
+            "cnt": ("count", ""),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        }
+        src = Table.create(src_loc, ev_ddl)
+        roll = Table.create(
+            roll_loc,
+            "event_type STRING, cnt BIGINT, sum_value DOUBLE, "
+            "min_value DOUBLE, max_value DOUBLE",
+        )
+        ev = _t(spark, sf_dir, "events")
+        src.append_dataframe(ev.filter("event_id % 2 = 0").select(cols))
+        r1 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
+        src.append_dataframe(ev.filter("event_id % 2 = 1").select(cols))
+        r2 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
+        n_total = ev.count()
+        if not (0 < r2["delta_rows"] < n_total):
+            raise AssertionError(f"refresh was not incremental: {r2}")
+        if r1["delta_rows"] + r2["delta_rows"] != n_total:
+            raise AssertionError("refresh deltas do not partition the input")
+        out = roll.scan(spark).select(
+            "event_type",
+            "cnt",
+            F.round("sum_value", 3).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(src_loc, ignore_errors=True)
+        shutil.rmtree(roll_loc, ignore_errors=True)
+
+
+ROLLUP_REFRESH_SQL = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 3) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
