@@ -33,20 +33,31 @@ from pyspark.sql import SparkSession
 
 from iceberg_compaction_spark.sources.table import Table
 
-_SUPPORTED = ("count", "sum", "min", "max")
+_SUPPORTED = ("count", "sum", "min", "max", "hll")
 
 
 def rollup_ddl(group_ddl: str, aggs: dict[str, tuple[str, str]]) -> str:
     """DDL for the rollup table: group columns + one state column per
     aggregate. ``aggs``: out_col -> (fn, src_col); fn in count/sum/
-    min/max (count's src_col is ignored). State types: count/sum are
-    BIGINT/DOUBLE, min/max mirror the source column type — pass the
+    min/max/hll (count's src_col is ignored). State types: count is
+    BIGINT, hll is BINARY (a mergeable HyperLogLog sketch — read the
+    estimate with ``hll_estimates``), the rest DOUBLE — pass the
     source DDL types through ``group_ddl``-style strings yourself if
     they differ from DOUBLE."""
     cols = [group_ddl]
     for out, (fn, _src) in aggs.items():
-        cols.append(f"{out} {'BIGINT' if fn == 'count' else 'DOUBLE'}")
+        t = {"count": "BIGINT", "hll": "BINARY"}.get(fn, "DOUBLE")
+        cols.append(f"{out} {t}")
     return ", ".join(cols)
+
+
+def hll_estimates(df, cols: list[str]):
+    """Replace HLL state columns with their distinct-count estimates —
+    the read-side of an approx-distinct rollup."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.hll_sketch_estimate(c))
+    return out
 
 
 def refresh_rollup(
@@ -87,6 +98,21 @@ def refresh_rollup(
             if fn == "count":
                 out.append(
                     (F.sum(name) if src_is_state else F.count(F.lit(1))).alias(name)
+                )
+            elif fn == "hll":
+                # mergeable sketch state: build on raw rows, union on
+                # state — exactly the decomposability count/sum have,
+                # for DISTINCT counts (where exact state would be the
+                # whole value set)
+                # sketch the string form: hll_sketch_agg accepts only
+                # int/bigint/string/binary, and the cast makes distinct
+                # semantics uniform across source column types
+                out.append(
+                    (
+                        F.hll_union_agg(name)
+                        if src_is_state
+                        else F.hll_sketch_agg(F.col(c).cast("string"))
+                    ).alias(name)
                 )
             else:
                 agg = {"sum": F.sum, "min": F.min, "max": F.max}[fn]

@@ -92,3 +92,26 @@ def test_refresh_refuses_replace_in_window(spark, tmp_warehouse):
     ).execute()
     with pytest.raises(ValueError, match="replace"):
         refresh_rollup(spark, src, roll, ["k"], AGGS)
+
+
+def test_refresh_rollup_hll_distinct_state(spark, tmp_warehouse):
+    """HLL sketch state is mergeable across refreshes: two incremental
+    refreshes' unioned sketch estimates the distinct count over BOTH
+    appends (within HLL error), including values seen in both."""
+    from iceberg_compaction_spark.operators.rollup import hll_estimates
+
+    src = Table.create(os.path.join(tmp_warehouse, "src3"), SRC_DDL)
+    roll = Table.create(
+        os.path.join(tmp_warehouse, "roll3"), "k BIGINT, cnt BIGINT, nd BINARY"
+    )
+    aggs = {"cnt": ("count", ""), "nd": ("hll", "v")}
+    # overlap: batch2 repeats half of batch1's values
+    b1 = [(0, float(i)) for i in range(500)]
+    b2 = [(0, float(i)) for i in range(250, 750)]
+    src.append_dataframe(spark.createDataFrame(b1, SRC_DDL).coalesce(1))
+    refresh_rollup(spark, src, roll, ["k"], aggs)
+    src.append_dataframe(spark.createDataFrame(b2, SRC_DDL).coalesce(1))
+    refresh_rollup(spark, src, roll, ["k"], aggs)
+    row = hll_estimates(roll.scan(spark), ["nd"]).collect()[0]
+    assert row["cnt"] == 1000  # rows, exact
+    assert abs(row["nd"] - 750) / 750 < 0.05  # distinct, sketched
