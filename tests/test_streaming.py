@@ -132,3 +132,56 @@ def test_stream_dedup_append_repairs_index_after_crash(spark, tmp_warehouse):
     q = stream_dedup_append(stream, t, idx, ckpt, bands=4)
     q.awaitTermination(120)
     assert sorted(r["doc_id"] for r in t.scan(spark).collect()) == [7]
+
+
+def test_dedup_index_is_engine_maintainable(spark, tmp_warehouse):
+    """The LSH index is just a table: after several streaming batches
+    leave it as many small files, the engine's own compaction folds
+    them — and the index keeps rejecting duplicates afterwards."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.streaming.ingest import stream_dedup_append
+
+    t = Table.create(os.path.join(tmp_warehouse, "corpus3"), DOC_DDL)
+    idx = Table.create(os.path.join(tmp_warehouse, "index3"), INDEX_DDL)
+    src = os.path.join(tmp_warehouse, "docs_in3")
+    ckpt = os.path.join(tmp_warehouse, "dedup_ckpt3")
+    schema = "doc_id long, text string"
+
+    texts = [
+        "alpha document about compaction scheduling and manifests",
+        "beta document covering streaming watermarks and sessions",
+        "gamma document on bloom filters and point lookup pruning",
+    ]
+    for i, txt in enumerate(texts):
+        spark.createDataFrame([(i, txt)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_dedup_append(stream, t, idx, ckpt, bands=4).awaitTermination(120)
+
+    n_files_before = len(idx.files(content="data"))
+    assert n_files_before >= 3  # one commit per batch -> small files
+    CompactionRunner(
+        spark,
+        idx,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.SINGLE,
+            sort_order=(("signature", False),),
+        ),
+    ).execute()
+    assert len(idx.files(content="data")) < n_files_before
+    assert idx.scan(spark).count() == 3 * 4
+
+    # a duplicate of a pre-compaction doc is still rejected
+    spark.createDataFrame([(99, texts[0])], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_dedup_append(stream, t, idx, ckpt, bands=4).awaitTermination(120)
+    assert sorted(r["doc_id"] for r in t.scan(spark).collect()) == [0, 1, 2]
