@@ -58,6 +58,9 @@ HEADLINE = [
     "pii_redaction",  # round 6: map-only JVM-regex curation pass
     "duplicate_spans",  # round 6: substring-level dedup (gram shuffle + islands)
     "hashed_classifier",  # round 6: map-only hashed linear scoring
+    "asof_join",  # round 6: union-tag window point-in-time join
+    "range_join",  # round 6: binned interval equi-join
+    "incremental_dedup",  # round 6: index-probe dedup of an increment
 ]
 
 
