@@ -17,11 +17,11 @@ l.ts)`` + argmax materializes |left|×|right-per-key| rows first,
 quadratic in the hot key's history). The window state is one row of
 payload, so a 10⁹-row key history streams through an executor without
 memory growth. Skew caveat: a single ``by`` key hotter than one
-executor core's share is the same seam every per-key window has; AQE
-cannot split a window partition, so pre-bucket such keys upstream
-(e.g. salt by time range and as-of join per range, then repair the
-first row of each range — the documented recipe for pathological
-keys).
+executor core's share is the same seam every per-key window has, and
+AQE cannot split a window partition — use ``asof_join_salted`` for
+such keys: it buckets time, windows per (key, bucket), and repairs
+bucket boundaries with a cross-bucket carry that is |keys|×|buckets|
+rows small.
 
 Tie semantics match DuckDB ASOF (``ON l.ts >= r.ts``): a right row at
 exactly ``l.ts`` matches. Right rows must be unique per (by, ts) for
@@ -95,3 +95,84 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_asof_tag") == 1).drop("_asof_tag")
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str] | str,
+    ts_col: str = "ts",
+    bucket_width: float = 3600.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """``asof_join`` (backward only) for PATHOLOGICAL keys — the
+    documented recipe for a single ``by`` key whose history exceeds one
+    executor core's share, where any per-key window (including
+    ``asof_join``'s) serializes.
+
+    Three stages, every window partitioned by (key, time-bucket) or
+    running over bucket-COUNT-sized rows — never by key alone:
+      1. as-of join within each (key, bucket): splits the hot key into
+         history/bucket_width independent partitions.
+      2. per (key, bucket) take the LAST right payload, then a
+         cumulative carry across buckets — a relation of
+         |keys|×|buckets| rows, thousands of times smaller than the
+         data, so its per-key window is trivially cheap.
+      3. left rows still unmatched after stage 1 (no right row earlier
+         in their own bucket) fill from the previous buckets' carry.
+    Result is row-identical to ``asof_join`` (pinned by a hypothesis
+    equivalence test); right rows must be unique per (by, ts) as
+    there."""
+    by = [by] if isinstance(by, str) else list(by)
+    payload_cols = [c for c in right.columns if c not in by]
+
+    def _num(df, c):
+        t = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        return col.cast("timestamp").cast("double") if t.startswith("timestamp") else col
+
+    lb = left.withColumn("_bkt", F.floor(_num(left, ts_col) / F.lit(float(bucket_width))))
+    rb = right.withColumn("_bkt", F.floor(_num(right, ts_col) / F.lit(float(bucket_width))))
+
+    # stage 1: within-bucket as-of (the hot key is now split)
+    stage1 = asof_join(lb, rb, by=[*by, "_bkt"], ts_col=ts_col, suffix=suffix)
+
+    # stage 2: bucket-end payloads + cumulative carry from EARLIER buckets
+    wlast = Window.partitionBy(*by, "_bkt").orderBy(F.desc("_asof_ord"))
+    ends = (
+        rb.withColumn("_asof_ord", _num(rb, ts_col))
+        .withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select(*by, "_bkt", *[F.col(c).alias(c + "_end") for c in payload_cols])
+    )
+    wcarry = (
+        Window.partitionBy(*by)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # carry rows: for every bucket PRESENT ON EITHER SIDE, the last
+    # payload from strictly earlier right buckets
+    bkts = (
+        lb.select(*by, "_bkt")
+        .unionByName(rb.select(*by, "_bkt"))
+        .distinct()
+        .join(ends, [*by, "_bkt"], "left")
+    )
+    carry = bkts.select(
+        *by,
+        "_bkt",
+        *[
+            F.last(c + "_end", ignorenulls=True).over(wcarry).alias(c + "_carry")
+            for c in payload_cols
+        ],
+    )
+
+    # stage 3: fill unmatched rows from the carry
+    out = stage1.join(carry, [*by, "_bkt"], "left").select(
+        *[c for c in left.columns],
+        *[
+            F.coalesce(F.col(c + suffix), F.col(c + "_carry")).alias(c + suffix)
+            for c in payload_cols
+        ],
+    )
+    return out

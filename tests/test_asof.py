@@ -84,3 +84,49 @@ def test_asof_join_plan_is_single_window_no_join(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rows, _rows, st.sampled_from([1.0, 4.0, 100.0]))
+def test_asof_join_salted_equivalent(spark, left, right, w):
+    """The hot-key form (bucketed windows + cross-bucket carry) must be
+    row-identical to the plain as-of join for every bucket width —
+    including widths that force the carry path (w=1: most matches come
+    from earlier buckets) and one that degenerates to a single bucket
+    (w=100)."""
+    from iceberg_compaction_spark.operators.asof import asof_join_salted
+
+    right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
+    left = list({(k, ts, v) for k, ts, v in left})
+    if not left:
+        return
+    ldf = spark.createDataFrame(left, "key long, ts long, lval long")
+    rdf = spark.createDataFrame(
+        right or [(0, -999, 0)], "key long, ts long, rval long"
+    )
+    if not right:
+        rdf = rdf.filter("ts > 0")
+    cols = ("key", "ts", "lval", "ts_r", "rval_r")
+    plain = sorted(
+        tuple(r[c] for c in cols) for r in asof_join(ldf, rdf, by="key").collect()
+    )
+    salted = sorted(
+        tuple(r[c] for c in cols)
+        for r in asof_join_salted(ldf, rdf, by="key", bucket_width=w).collect()
+    )
+    assert plain == salted, (left, right, w)
+
+
+def test_asof_join_salted_splits_hot_key_partitions(spark):
+    """The stage-1 window must partition by (key, bucket) — the hot
+    key's rows land in many window partitions, not one."""
+    from iceberg_compaction_spark.operators.asof import asof_join_salted
+
+    ldf = spark.range(1000).selectExpr("0 AS key", "id AS ts", "id AS lval")
+    rdf = spark.range(100).selectExpr("0 AS key", "id * 10 AS ts", "id AS rval")
+    df = asof_join_salted(ldf, rdf, by="key", bucket_width=50.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(key" in plan.replace(" ", "").lower() or "_bkt" in plan
+    # correctness spot check: ts=999 -> last right at 990
+    row = [r for r in df.collect() if r["ts"] == 999][0]
+    assert row["ts_r"] == 990 and row["rval_r"] == 99
