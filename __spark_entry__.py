@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 83 queries, 81 of them
+training-data pipeline operators — 84 queries, 82 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
@@ -12,7 +12,7 @@ driver's rows-only check; their correctness is pinned by tests/.
 
 Ordering note: the driver records a bounded (50-row) prefix of this
 dict, so the LEAST-driver-proven queries come FIRST. Round-6 order:
-the 15 round-6 additions lead (never driver-checked), then the 19 keys
+the 16 round-6 additions lead (never driver-checked), then the 19 keys
 past round 5's window (r1/r2 basics through parallelism_formula, last
 driver-proven in r2-r4), then the flagship and engine core; the
 round-5 additions — all freshly driver-proven in CORRECTNESS_r05 —
@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_rewrite_scan": QP.q_filtered_rewrite_scan,
         "incremental_dedup": QP.q_incremental_dedup,
         "asof_join": QP.q_asof_join,
+        "asof_join_forward": QP.q_asof_join_forward,
         "range_join": QP.q_range_join,
         "rollup_refresh": QP.q_rollup_refresh,
         "duplicate_spans": QP.q_duplicate_spans,
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_rewrite_scan": QP.FILTERED_REWRITE_SCAN_SQL,
         "incremental_dedup": QP.INCREMENTAL_DEDUP_SQL,
         "asof_join": QP.ASOF_JOIN_SQL,
+        "asof_join_forward": QP.ASOF_JOIN_FORWARD_SQL,
         "range_join": QP.RANGE_JOIN_SQL,
         "rollup_refresh": QP.ROLLUP_REFRESH_SQL,
         "duplicate_spans": QP.DUPLICATE_SPANS_SQL,

@@ -2786,3 +2786,43 @@ SELECT event_type,
        MAX(value) AS max_value
 FROM events GROUP BY event_type
 """
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: FORWARD as-of join — each click picks up the EARLIEST
+    at-or-after purchase of the same user (`operators/asof.py`
+    direction="forward": same union-tag window scanned descending).
+    Oracle: DuckDB ASOF LEFT JOIN with `<=`."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    buys = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("buy_event_id"))
+    )
+    out = asof_join(clicks, buys, by="user_id", direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("ts_r").alias("buy_ts_epoch"),
+        F.col("buy_event_id_r").alias("buy_event_id"),
+    )
+
+
+ASOF_JOIN_FORWARD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+buys AS (
+  SELECT user_id, ts, max(event_id) AS buy_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS buy_ts_epoch,
+       v.buy_event_id AS buy_event_id
+FROM clicks c ASOF LEFT JOIN buys v
+  ON c.user_id = v.user_id AND c.ts <= v.ts
+"""
