@@ -281,6 +281,69 @@ def stream_dedup_append(
     return writer.start()
 
 
+def stream_enrich_asof(
+    stream_df: DataFrame,
+    dim_table: Table,
+    target: Table,
+    by,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    trigger: dict | None = None,
+):
+    """Streaming point-in-time enrichment — the slowly-changing-
+    dimension consumer shape: every micro-batch is as-of joined
+    (``operators/asof.asof_join``, backward) against the dimension
+    table's CURRENT snapshot, so each event picks up the dimension row
+    that was latest at the event's own timestamp, and the enriched
+    rows append to ``target`` exactly once (same (stream_key,
+    batch_id) guard as ``stream_append``).
+
+    The dimension is re-read per batch — it is snapshot-pinned per
+    micro-batch, so a dimension update between batches takes effect on
+    the next batch, never mid-batch. ``target``'s schema must be the
+    stream schema plus the dimension payload columns suffixed ``_r``
+    (the as-of join's output shape)."""
+    import hashlib
+    import os
+
+    from iceberg_compaction_spark.operators.asof import asof_join
+
+    stream_key = hashlib.md5(
+        (os.path.abspath(checkpoint_dir) + "|enrich").encode()
+    ).hexdigest()[:12]
+    last_committed, record = _stream_guard(target, stream_key)
+    state = {"last": last_committed()}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last"]:
+            return
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        dim = dim_table.scan(spark)
+        enriched = asof_join(batch_df, dim, by=by, ts_col=ts_col)
+        infos = target.write_data_files(enriched)
+        if infos:
+            target.commit(
+                "append",
+                added=infos,
+                extra_summary={
+                    "stream_key": stream_key,
+                    "stream_batch_id": int(batch_id),
+                },
+            )
+        record(batch_id)
+        state["last"] = batch_id
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def compact_if_needed(spark, table: Table, config=None, min_small_files: int = 8) -> bool:
     """Incremental-compaction trigger: run a compaction only when the
     current snapshot holds at least ``min_small_files`` files under the

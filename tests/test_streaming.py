@@ -185,3 +185,59 @@ def test_dedup_index_is_engine_maintainable(spark, tmp_warehouse):
     stream = spark.readStream.schema(schema).parquet(src)
     stream_dedup_append(stream, t, idx, ckpt, bands=4).awaitTermination(120)
     assert sorted(r["doc_id"] for r in t.scan(spark).collect()) == [0, 1, 2]
+
+
+def test_stream_enrich_asof_picks_version_at_event_time(spark, tmp_warehouse):
+    """Point-in-time enrichment: events pick the dimension row that was
+    latest AT THEIR OWN ts (not the newest row), and a dimension update
+    between batches applies to the next batch only."""
+    from iceberg_compaction_spark.streaming.ingest import stream_enrich_asof
+
+    dim = Table.create(
+        os.path.join(tmp_warehouse, "dim"), "key BIGINT, ts TIMESTAMP, rate DOUBLE"
+    )
+    tgt = Table.create(
+        os.path.join(tmp_warehouse, "tgt"),
+        "key BIGINT, ts TIMESTAMP, amt DOUBLE, ts_r TIMESTAMP, rate_r DOUBLE",
+    )
+    dim.append_dataframe(
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-10 00:00:00", 2.0)],
+            "key long, ts string, rate double",
+        ).selectExpr("key", "CAST(ts AS TIMESTAMP) ts", "rate").coalesce(1)
+    )
+
+    src = os.path.join(tmp_warehouse, "ev_in")
+    ckpt = os.path.join(tmp_warehouse, "enrich_ckpt")
+    schema = "key long, ts timestamp, amt double"
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-05 12:00:00", 10.0), (1, "2024-01-11 00:00:00", 20.0)],
+        "key long, ts string, amt double",
+    ).selectExpr("key", "CAST(ts AS TIMESTAMP) ts", "amt")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    q = stream_enrich_asof(
+        spark.readStream.schema(schema).parquet(src), dim, tgt, by="key",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    got = {r["amt"]: r["rate_r"] for r in tgt.scan(spark).collect()}
+    assert got == {10.0: 1.0, 20.0: 2.0}  # each event at ITS time's rate
+
+    # dimension evolves; the next batch sees the new version
+    dim.append_dataframe(
+        spark.createDataFrame(
+            [(1, "2024-01-15 00:00:00", 3.0)], "key long, ts string, rate double"
+        ).selectExpr("key", "CAST(ts AS TIMESTAMP) ts", "rate").coalesce(1)
+    )
+    spark.createDataFrame(
+        [(1, "2024-01-20 00:00:00", 30.0)], "key long, ts string, amt double"
+    ).selectExpr("key", "CAST(ts AS TIMESTAMP) ts", "amt").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_enrich_asof(
+        spark.readStream.schema(schema).parquet(src), dim, tgt, by="key",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    got = {r["amt"]: r["rate_r"] for r in tgt.scan(spark).collect()}
+    assert got == {10.0: 1.0, 20.0: 2.0, 30.0: 3.0}
