@@ -58,6 +58,11 @@ def asof_join(
     payload_cols = [c for c in right.columns if c not in by]
     if not payload_cols:
         raise ValueError("right side has no payload columns beyond the keys")
+    # NULL-ts semantics match SQL ASOF: a NULL never satisfies the
+    # comparison — null-ts right rows can never match (drop them), and
+    # null-ts left rows get a NULL payload (ordered before every right
+    # row below, so the running last() has seen nothing)
+    right = right.filter(F.col(ts_col).isNotNull())
 
     tagged_left = left.select(
         *[F.col(c) for c in left_cols],
@@ -77,9 +82,9 @@ def asof_join(
     # equal-ts right row is visible to the left row (DuckDB >=).
     # forward: scan time descending, same tie order.
     order = (
-        [F.asc("_asof_ts"), F.asc("_asof_tag")]
+        [F.asc_nulls_first("_asof_ts"), F.asc("_asof_tag")]
         if direction == "backward"
-        else [F.desc("_asof_ts"), F.asc("_asof_tag")]
+        else [F.desc_nulls_first("_asof_ts"), F.asc("_asof_tag")]
     )
     w = (
         Window.partitionBy(*by)

@@ -130,3 +130,25 @@ def test_asof_join_salted_splits_hot_key_partitions(spark):
     # correctness spot check: ts=999 -> last right at 990
     row = [r for r in df.collect() if r["ts"] == 999][0]
     assert row["ts_r"] == 990 and row["rval_r"] == 99
+
+
+def test_asof_join_null_ts_semantics(spark):
+    """SQL ASOF semantics for NULLs: a null-ts right row never matches
+    anything; a null-ts left row gets a NULL payload — in BOTH
+    directions (forward is the trap: a naive desc sort puts nulls
+    last, where the running window has already seen payloads)."""
+    from iceberg_compaction_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b")], "key long, ts long, tag string"
+    )
+    rdf = spark.createDataFrame(
+        [(1, 5, "r5"), (1, 15, "r15"), (1, None, "rnull")],
+        "key long, ts long, rtag string",
+    )
+    for direction, want_a in (("backward", "r5"), ("forward", "r15")):
+        got = {
+            r["tag"]: r["rtag_r"]
+            for r in asof_join(ldf, rdf, by="key", direction=direction).collect()
+        }
+        assert got == {"a": want_a, "b": None}, direction
