@@ -80,3 +80,18 @@ def test_range_join_plan_has_no_nested_loop(spark):
     plan = range_join(pdf, idf, by="key", bin_width=4.0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_range_join_null_bounds_never_match(spark):
+    """SQL BETWEEN with a NULL bound (or a NULL point) is never TRUE;
+    the binning form agrees — null-bin rows drop out of the equi-join
+    and null-bound intervals drop at the explode."""
+    pdf = spark.createDataFrame(
+        [(1, 5), (1, None)], "key long, ts long"
+    )
+    idf = spark.createDataFrame(
+        [(1, 0, 10, "full"), (1, None, 10, "nostart"), (1, 0, None, "noend")],
+        "key long, start long, end long, tag string",
+    )
+    rows = range_join(pdf, idf, by="key", bin_width=4.0).collect()
+    assert [(r["ts"], r["tag_r"]) for r in rows] == [(5, "full")]
