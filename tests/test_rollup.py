@@ -115,3 +115,37 @@ def test_refresh_rollup_hll_distinct_state(spark, tmp_warehouse):
     row = hll_estimates(roll.scan(spark), ["nd"]).collect()[0]
     assert row["cnt"] == 1000  # rows, exact
     assert abs(row["nd"] - 750) / 750 < 0.05  # distinct, sketched
+
+
+def test_refresh_rollup_fuzz_interleavings(spark, tmp_warehouse):
+    """Random interleavings of appends and refreshes (including
+    back-to-back appends folded by ONE refresh, and refreshes with
+    nothing new) must always leave the rollup equal to a full
+    recompute over everything appended so far."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        src = Table.create(os.path.join(tmp_warehouse, f"fz_src{trial}"), SRC_DDL)
+        roll = Table.create(os.path.join(tmp_warehouse, f"fz_roll{trial}"), ROLLUP_DDL)
+        appended: list = []
+        refreshed_through = 0
+        for step in range(6):
+            if rng.random() < 0.6:
+                batch = [
+                    (rng.randrange(3), float(rng.randrange(50)))
+                    for _ in range(rng.randrange(1, 8))
+                ]
+                src.append_dataframe(
+                    spark.createDataFrame(batch, SRC_DDL).coalesce(1)
+                )
+                appended.extend(batch)
+            else:
+                r = refresh_rollup(spark, src, roll, ["k"], AGGS)
+                assert r["delta_rows"] == len(appended) - refreshed_through
+                refreshed_through = len(appended)
+                if refreshed_through:
+                    assert _state(roll, spark) == _full(spark, appended)
+        refresh_rollup(spark, src, roll, ["k"], AGGS)
+        if appended:
+            assert _state(roll, spark) == _full(spark, appended)
