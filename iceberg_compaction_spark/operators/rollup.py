@@ -5,21 +5,35 @@ max; avg = sum÷count at read time), and ``refresh_rollup`` folds in
 only the source rows appended since the last refresh.
 
 Scale shape: the whole point is on the SOURCE side — a refresh scans
-``incremental_scan(last_anchor, current)`` (the new data files only),
-never the 100 TB history. The rollup side is |groups| rows; each
-refresh re-aggregates delta ∪ current-rollup with the same decomposable
-merge (sum+sum, min(min), …) and commits one atomic REPLACE of the
-rollup table — tiny, because aggregates are tiny. The refresh anchor
-(last processed snapshot id) is stored as a rollup-table property, so
-refreshes resume exactly after a crash: the anchor is written in the
-SAME commit flow as the data, and a replayed refresh of the same
-anchor folds an empty delta.
+only the data files appended since the last anchor, never the 100 TB
+history. The rollup side is |groups| rows; each refresh re-aggregates
+delta ∪ current-rollup with the same decomposable merge (sum+sum,
+min(min), …) and commits one atomic REPLACE of the rollup table —
+tiny, because aggregates are tiny.
 
-Append-only caveat (same as ``incremental_scan``): compaction rewrites
-re-add rows under new paths. Refresh anchors must therefore advance
-over INGEST commits; run refreshes before maintenance, or point the
-rollup at an ingest branch. ``refresh_rollup`` detects a replace
-commit in the window and raises rather than double-counting.
+Crash safety: the refresh anchor (last processed source snapshot id)
+is recorded in the SAME atomic commit as the merged state — the
+``rollup_src_snapshot`` snapshot-summary key — and mirrored to a
+rollup-table property for expiry durability. Restart reads the max of
+both (the ``_stream_guard`` recipe, ``streaming/ingest.py``), so a
+crash between commit and property write is covered by the summary and
+a replayed refresh sees ``cur == last`` and no-ops — never a
+double-fold.
+
+Maintenance coexistence: the refresh window is classified by walking
+the source's snapshot ancestry. Append commits contribute their added
+files to the delta. Row-set-preserving rewrites (``replace`` /
+``maintenance`` / ``rewrite_manifests`` — compaction, delete-file
+cleanup, manifest rewrite) are folded AROUND: their outputs re-add
+rows the rollup already counted, so they are skipped — unless the
+rewrite consumed a file appended inside the window (its uncounted
+rows now live only in mixed outputs), in which case the refresh falls
+back to one full recompute. Row-set-CHANGING commits (merge / delete /
+update / rollback / expire_data) always recompute — the materialized
+view then reflects the current table, which is the only consistent
+answer once rows were removed or rewritten in place. Either way the
+refresh converges without manual ordering between ingest and
+maintenance.
 
 Reference contrast: the reference engine has no aggregate maintenance
 at all (crates/ stop at file-level table services); this is the §2.12
@@ -31,9 +45,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import SparkSession
 
+from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources.table import Table
 
 _SUPPORTED = ("count", "sum", "min", "max", "hll")
+
+# operations whose commits rewrite live rows under new paths without
+# changing the live row SET (compaction, delete-file cleanup, manifest
+# rewrite): safe to skip during an incremental fold as long as no
+# in-window (not-yet-counted) appended file was consumed
+_ROWSET_PRESERVING = frozenset({"replace", "maintenance", "rewrite_manifests"})
+
+_ANCHOR_PROP = "rollup.last-src-snapshot"
+_ANCHOR_SUMMARY = "rollup_src_snapshot"
 
 
 def rollup_ddl(group_ddl: str, aggs: dict[str, tuple[str, str]]) -> str:
@@ -60,6 +84,41 @@ def hll_estimates(df, cols: list[str]):
     return out
 
 
+def _last_anchor(rollup: Table) -> int | None:
+    """Crash-safe anchor recovery: max(property, snapshot summaries).
+    The summary rides the atomic replace commit, so a crash between
+    commit and property write cannot roll the anchor back."""
+    vals = []
+    prop = rollup.get_property(_ANCHOR_PROP, None)
+    if prop is not None:
+        vals.append(int(prop))
+    for s in rollup.snapshots():
+        v = (s.get("summary") or {}).get(_ANCHOR_SUMMARY)
+        if v is not None:
+            vals.append(int(v))
+    return max(vals) if vals else None
+
+
+def _window_chain(src: Table, last: int | None, cur: int) -> list[dict] | None:
+    """Main-ancestry commits in (last, cur], oldest first, by walking
+    parent ids from ``cur``. None when the walk cannot reach ``last``
+    (diverged history, e.g. a rollback past the anchor) — the caller
+    must recompute rather than guess a delta."""
+    chain: list[dict] = []
+    sid: int | None = cur
+    while sid is not None and sid != last:
+        try:
+            snap = src.snapshot(sid)
+        except Exception:
+            return None  # expired mid-window: no exact delta exists
+        chain.append(snap)
+        sid = snap.get("parent_id")
+    if sid != last and last is not None:
+        return None
+    chain.reverse()
+    return chain
+
+
 def refresh_rollup(
     spark: SparkSession,
     src: Table,
@@ -69,28 +128,67 @@ def refresh_rollup(
 ) -> dict:
     """Fold source rows appended since the last refresh into the
     rollup. ``aggs``: out_col -> (fn, src_col). Returns {delta_rows,
-    from_snapshot, to_snapshot}; a no-op refresh returns delta_rows 0
-    and commits nothing."""
+    from_snapshot, to_snapshot, mode} with mode in
+    ``noop | incremental | recompute``; a no-op refresh commits
+    nothing."""
     for out, (fn, _c) in aggs.items():
         if fn not in _SUPPORTED:
             raise ValueError(f"{out}: {fn} is not decomposable-supported {_SUPPORTED}")
-    anchor_key = "rollup.last-src-snapshot"
-    last = rollup.get_property(anchor_key, None)
-    last = int(last) if last is not None else None
+    last = _last_anchor(rollup)
     cur = src.current_snapshot_id
     if cur is None or cur == last:
-        return {"delta_rows": 0, "from_snapshot": last, "to_snapshot": cur}
-    # refuse to fold a window containing a rewrite: replace commits
-    # re-add rows under new paths and would double-count
-    for s in src.snapshots():
-        sid = s["snapshot_id"]
-        if (last is None or sid > last) and sid <= cur and s.get("operation") == "replace":
-            raise ValueError(
-                "refresh window contains a replace commit; refresh rollups "
-                "before maintenance (or anchor to an ingest branch)"
-            )
+        return {
+            "delta_rows": 0, "from_snapshot": last, "to_snapshot": cur,
+            "mode": "noop",
+        }
     cols = list({c for (_fn, c) in aggs.values() if c} | set(group_by))
-    delta = src.incremental_scan(spark, last, cur, columns=cols)
+
+    # classify the window by ancestry: appends feed the delta;
+    # row-set-preserving rewrites are skipped (outputs re-add counted
+    # rows) unless they consumed a pending in-window append; anything
+    # else (or an unreadable window) forces a recompute
+    mode = "incremental"
+    pending: dict[str, dict] = {}  # path -> manifest row, appended + uncounted
+    chain = _window_chain(src, last, cur)
+    if chain is None:
+        mode = "recompute"
+    else:
+        for snap in chain:
+            op = snap.get("operation") or "append"
+            sid, parent = snap["snapshot_id"], snap.get("parent_id")
+            if op == "append":
+                for r in src.added_files_between(parent, sid):
+                    pending[r["path"]] = r
+            elif op in _ROWSET_PRESERVING:
+                after = {
+                    r["path"]
+                    for r in src.manifest(sid)
+                    if r["content"] == mf.CONTENT_DATA
+                }
+                consumed = [p for p in pending if p not in after]
+                if consumed:
+                    # a not-yet-counted append was rewritten into mixed
+                    # outputs: no file-level delta exists any more
+                    mode = "recompute"
+                    break
+            else:  # merge / delete / update / rollback / expire_data …
+                mode = "recompute"
+                break
+
+    if mode == "incremental":
+        live = [r for r in pending.values() if r.get("record_count", 1)]
+        if not live:
+            # pure-metadata window (or empty part-files only): advance
+            # the anchor without a data commit; losing this property
+            # write in a crash only re-runs the same no-op
+            rollup.set_property(_ANCHOR_PROP, int(cur))
+            return {
+                "delta_rows": 0, "from_snapshot": last, "to_snapshot": cur,
+                "mode": "incremental",
+            }
+        delta = src.read_data_rows(spark, live).select(*cols)
+    else:
+        delta = src.scan(spark, columns=cols)
 
     def _exprs(src_is_state: bool):
         out = []
@@ -119,26 +217,52 @@ def refresh_rollup(
                 out.append(agg(name if src_is_state else c).alias(name))
         return out
 
-    partial = delta.groupBy(*group_by).agg(*_exprs(False))
-    existing = (
-        rollup.scan(spark)
-        if rollup.files(content="data")
-        else spark.createDataFrame([], schema=rollup.schema())
+    # ONE pass over the appended files: the |groups|-sized partial is
+    # persisted, delta_rows comes from its count state, and the merge
+    # write reads the cache — never a second scan of the delta
+    partial = (
+        delta.groupBy(*group_by)
+        .agg(*_exprs(False), F.count(F.lit(1)).alias("__delta_cnt"))
+        .persist()
     )
-    merged = (
-        existing.select(partial.columns)
-        .unionByName(partial)
-        .groupBy(*group_by)
-        .agg(*_exprs(True))
-    )
-    delta_rows = delta.count()
-    infos = rollup.write_data_files(merged)
-    removed = [f["path"] for f in rollup.files(content="data")]
-    rollup.commit(
-        "replace",
-        added=infos,
-        removed_paths=removed,
-        extra_summary={"rollup_src_snapshot": int(cur)},
-    )
-    rollup.set_property(anchor_key, int(cur))
-    return {"delta_rows": delta_rows, "from_snapshot": last, "to_snapshot": cur}
+    try:
+        delta_rows = int(
+            partial.agg(F.sum("__delta_cnt")).collect()[0][0] or 0
+        )
+        partial = partial.drop("__delta_cnt")
+        if mode == "incremental":
+            existing = (
+                rollup.scan(spark)
+                if rollup.files(content="data")
+                else spark.createDataFrame([], schema=rollup.schema())
+            )
+            merged = (
+                existing.select(partial.columns)
+                .unionByName(partial)
+                .groupBy(*group_by)
+                .agg(*_exprs(True))
+            )
+        else:
+            merged = partial  # recompute IS the new state
+        infos = rollup.write_data_files(merged)
+        removed = [f["path"] for f in rollup.files(content="data")]
+        rollup.commit(
+            "replace",
+            added=infos,
+            removed_paths=removed,
+            extra_summary={_ANCHOR_SUMMARY: int(cur)},
+        )
+    finally:
+        partial.unpersist()
+    # expiry-durable mirror of the committed summary anchor; a failed
+    # property write is caught up by the next refresh's summary read
+    try:
+        rollup.set_property(_ANCHOR_PROP, int(cur))
+    except Exception:
+        from iceberg_compaction_spark.metrics import GLOBAL
+
+        GLOBAL.inc("rollup.anchor_mark_write_failed")
+    return {
+        "delta_rows": delta_rows, "from_snapshot": last, "to_snapshot": cur,
+        "mode": mode,
+    }

@@ -291,18 +291,20 @@ class _StreamReader(DataSourceStreamReader):
         across base-manifest collapses."""
         from iceberg_compaction_spark.sources import manifest as mf
 
-        chain, s, lost = [], end_sid, False
+        chain, s, expired = [], end_sid, False
         while s is not None and s != start_sid:
             try:
                 snap = table.snapshot(s)
             except FileNotFoundError:
-                lost = True  # ancestor expired mid-chain
+                expired = True  # ancestor expired mid-chain
                 break
             chain.append(snap)
             s = snap.get("parent_id")
-        if s != start_sid and not lost and start_sid is not None:
-            lost = True  # walked to the root without meeting start: divergent
-        if lost:
+        # walked to the root without meeting start: the recorded offset
+        # is on a DIVERGED history (rollback past it, branch swap) —
+        # a different failure from mid-chain expiry and handled apart
+        diverged = not expired and s is None and start_sid is not None
+        if expired or diverged:
             if self._fail_on_loss:
                 raise ValueError(
                     f"start snapshot {start_sid} is not a retained ancestor of "
@@ -310,13 +312,32 @@ class _StreamReader(DataSourceStreamReader):
                     "set failOnDataLoss=false to resume from the earliest "
                     "retained snapshot (skipping the expired range)"
                 )
-            # earliest-retained fallback (Kafka's auto.offset.reset
-            # earliest shape): keep the retained suffix of the chain.
-            # When the walk broke on a missing parent, the boundary
-            # snapshot's own diff needs that parent's manifest — gone —
-            # so its adds sit inside the skipped range too.
-            if chain and s is not None:
+            if expired and chain:
+                # earliest-retained fallback (Kafka's auto.offset.reset
+                # earliest shape): keep the retained suffix of the
+                # chain. The walk broke on a missing parent, and the
+                # boundary snapshot's own diff needs that parent's
+                # manifest — gone — so its adds sit inside the skipped
+                # range too.
                 chain.pop()
+            if diverged:
+                # no retained suffix exists to anchor on: the fallback
+                # replays the ENTIRE retained history, so previously
+                # emitted rows ARE re-delivered (at-least-once, broader
+                # than the expiry skip). Surface it instead of passing
+                # it off as a clean resume.
+                import warnings
+
+                from iceberg_compaction_spark.metrics import GLOBAL
+
+                GLOBAL.inc("datasource.divergent_history_replay")
+                warnings.warn(
+                    f"stream offset {start_sid} is not an ancestor of "
+                    f"{end_sid} (history diverged): failOnDataLoss=false "
+                    "replays the whole retained history — expect "
+                    "duplicate rows downstream",
+                    stacklevel=2,
+                )
         out = []
         for snap in reversed(chain):
             if snap.get("operation") not in ("append", "merge"):

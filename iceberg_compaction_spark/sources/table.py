@@ -1457,11 +1457,28 @@ class Table:
             )
             if pvals is not None:
                 before = len(data_rows)
-                # a file with no recorded partition value (mixed or
-                # legacy write) might hold matching rows: keep it
+                # Files written at or below ``partition_spec_floor``
+                # predate the current spec (``set_partition_expr``
+                # evolution): their recorded partition values were
+                # derived by the OLD expr, so comparing them against
+                # values projected with the CURRENT expr would silently
+                # drop matching rows (e.g. pmod(hash,16) vs
+                # pmod(hash,32)). Exempt them — projection only ever
+                # prunes files provably written under the live spec,
+                # preserving the "projection can never change the
+                # result" guarantee; ``migrate_partition_spec`` rewrites
+                # the exempt tail so full pruning returns.
+                spec_floor = self.meta.get("partition_spec_floor")
                 data_rows = [
                     r for r in data_rows
-                    if not r.get("partition") or r["partition"] in pvals
+                    # a file with no recorded partition value (mixed or
+                    # legacy write) might hold matching rows: keep it
+                    if not r.get("partition")
+                    or (
+                        spec_floor is not None
+                        and r.get("sequence_number", 0) <= spec_floor
+                    )
+                    or r["partition"] in pvals
                 ]
                 self.last_scan_pruned_files += before - len(data_rows)
             METRICS.inc("scan.files_pruned", self.last_scan_pruned_files)

@@ -19,6 +19,14 @@ from pyspark.sql import DataFrame
 from iceberg_compaction_spark.sources.table import Table
 
 
+def _pending_sort_key(pending_tuple):
+    """Order pending (batch_id, snapshot_dict) records by batch id
+    ALONE: tuple comparison would fall through to dict < dict on equal
+    ids (two streams sharing a checkpoint dir, a manually replayed
+    commit) and raise TypeError, wedging the stream."""
+    return pending_tuple[0]
+
+
 def _stream_guard(table: Table, stream_key: str):
     """Exactly-once bookkeeping for a streaming sink: the atomic record
     is the (stream_key, batch_id) snapshot summary, but summaries die
@@ -216,11 +224,12 @@ def stream_dedup_append(
         exactly one; crash-recovery path: the one a dead run left)."""
         pending = sorted(
             (
-                int(s["summary"]["stream_batch_id"]), s
-            )
-            for s in table.snapshots()
-            if s.get("summary", {}).get("stream_key") == stream_key
-            and int(s["summary"].get("stream_batch_id", -1)) > state["index"]
+                (int(s["summary"]["stream_batch_id"]), s)
+                for s in table.snapshots()
+                if s.get("summary", {}).get("stream_key") == stream_key
+                and int(s["summary"].get("stream_batch_id", -1)) > state["index"]
+            ),
+            key=_pending_sort_key,
         )
         for bid, snap in pending:
             rows = table.incremental_scan(

@@ -1,7 +1,10 @@
 """Incremental rollup: refresh folds ONLY the appended delta, the
-merged state equals a full recompute, replays are no-ops, and a
-replace commit inside the refresh window is refused (it would
-double-count rewritten rows)."""
+merged state equals a full recompute, replays are no-ops, and the
+refresh coexists with maintenance — a replace commit of already-counted
+files is folded around, a replace that consumed an uncounted append (or
+any row-set-changing commit) falls back to one full recompute. The
+anchor is crash-safe (committed summary + property mirror) and each
+refresh reads the appended files exactly once."""
 
 from __future__ import annotations
 
@@ -66,9 +69,7 @@ def test_refresh_rollup_incremental(spark, tmp_warehouse):
     assert _state(roll, spark) == _full(spark, b1 + b2)
 
 
-def test_refresh_refuses_replace_in_window(spark, tmp_warehouse):
-    import pytest
-
+def _compact(spark, src):
     from iceberg_compaction_spark.config import (
         CompactionConfig,
         GroupingStrategy,
@@ -76,11 +77,6 @@ def test_refresh_refuses_replace_in_window(spark, tmp_warehouse):
     )
     from iceberg_compaction_spark.plans.compaction import CompactionRunner
 
-    src = Table.create(os.path.join(tmp_warehouse, "src2"), SRC_DDL)
-    roll = Table.create(os.path.join(tmp_warehouse, "roll2"), ROLLUP_DDL)
-    rows = [(i % 2, float(i)) for i in range(40)]
-    src.append_dataframe(spark.createDataFrame(rows[:20], SRC_DDL).coalesce(1))
-    src.append_dataframe(spark.createDataFrame(rows[20:], SRC_DDL).coalesce(1))
     CompactionRunner(
         spark,
         src,
@@ -90,8 +86,117 @@ def test_refresh_refuses_replace_in_window(spark, tmp_warehouse):
             sort_order=(("k", False),),
         ),
     ).execute()
-    with pytest.raises(ValueError, match="replace"):
+
+
+def test_refresh_recomputes_when_replace_consumed_pending_append(
+    spark, tmp_warehouse
+):
+    """A compaction that rewrote files appended INSIDE the window mixes
+    counted and uncounted rows in its outputs — no file-level delta
+    exists, so the refresh falls back to one full recompute and still
+    converges to the exact state."""
+    src = Table.create(os.path.join(tmp_warehouse, "src2"), SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "roll2"), ROLLUP_DDL)
+    rows = [(i % 2, float(i)) for i in range(40)]
+    src.append_dataframe(spark.createDataFrame(rows[:20], SRC_DDL).coalesce(1))
+    src.append_dataframe(spark.createDataFrame(rows[20:], SRC_DDL).coalesce(1))
+    _compact(spark, src)
+    r = refresh_rollup(spark, src, roll, ["k"], AGGS)
+    assert r["mode"] == "recompute"
+    assert _state(roll, spark) == _full(spark, rows)
+    # and the anchor advanced: replay is a no-op
+    assert refresh_rollup(spark, src, roll, ["k"], AGGS)["mode"] == "noop"
+
+
+def test_refresh_folds_around_replace_of_counted_files(spark, tmp_warehouse):
+    """Compaction of files the rollup already counted is skipped by the
+    incremental fold: its outputs re-add counted rows, so the next
+    refresh stays incremental and scans only the new append."""
+    src = Table.create(os.path.join(tmp_warehouse, "src2b"), SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "roll2b"), ROLLUP_DDL)
+    b1 = [(i % 3, float(i)) for i in range(24)]
+    src.append_dataframe(spark.createDataFrame(b1[:12], SRC_DDL).coalesce(1))
+    src.append_dataframe(spark.createDataFrame(b1[12:], SRC_DDL).coalesce(1))
+    assert refresh_rollup(spark, src, roll, ["k"], AGGS)["delta_rows"] == 24
+    _compact(spark, src)  # rewrites only counted files
+    b2 = [(i % 4, float(100 + i)) for i in range(9)]
+    src.append_dataframe(spark.createDataFrame(b2, SRC_DDL).coalesce(1))
+    r = refresh_rollup(spark, src, roll, ["k"], AGGS)
+    assert r["mode"] == "incremental" and r["delta_rows"] == 9
+    assert _state(roll, spark) == _full(spark, b1 + b2)
+
+
+def test_refresh_recomputes_on_rowset_changing_commit(spark, tmp_warehouse):
+    """A delete commit in the window removes rows the rollup counted:
+    the refresh recomputes so the materialized view reflects the
+    current table instead of silently keeping ghost rows."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+
+    src = Table.create(os.path.join(tmp_warehouse, "src2c"), SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "roll2c"), ROLLUP_DDL)
+    rows = [(i % 3, float(i)) for i in range(30)]
+    src.append_dataframe(spark.createDataFrame(rows, SRC_DDL).coalesce(1))
+    refresh_rollup(spark, src, roll, ["k"], AGGS)
+    delete_where(spark, src, "v >= 20.0")
+    r = refresh_rollup(spark, src, roll, ["k"], AGGS)
+    assert r["mode"] == "recompute"
+    assert _state(roll, spark) == _full(spark, [t for t in rows if t[1] < 20.0])
+
+
+def test_refresh_anchor_survives_property_write_crash(spark, tmp_warehouse):
+    """Crash between the replace commit and the property write: the
+    committed snapshot summary is the atomic anchor record, so the
+    replayed refresh sees cur == last and no-ops instead of folding
+    the same delta twice."""
+    src = Table.create(os.path.join(tmp_warehouse, "src2d"), SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "roll2d"), ROLLUP_DDL)
+    rows = [(i % 3, float(i)) for i in range(30)]
+    src.append_dataframe(spark.createDataFrame(rows, SRC_DDL).coalesce(1))
+
+    orig = roll.set_property
+    def boom(key, value):
+        raise OSError("simulated crash before anchor property write")
+    roll.set_property = boom  # type: ignore[method-assign]
+    try:
         refresh_rollup(spark, src, roll, ["k"], AGGS)
+    finally:
+        roll.set_property = orig  # type: ignore[method-assign]
+    assert roll.get_property("rollup.last-src-snapshot") is None  # crashed
+    r = refresh_rollup(spark, src, roll, ["k"], AGGS)  # replay
+    assert r["mode"] == "noop" and r["delta_rows"] == 0
+    assert _state(roll, spark) == _full(spark, rows)
+
+
+def test_refresh_reads_delta_exactly_once(spark, tmp_warehouse):
+    """One pass over the appended files per refresh: by the time the
+    merged state is written, the delta's parquet files are no longer
+    needed — deleting them right before the write must not break the
+    refresh (the persisted partial is the only thing read)."""
+    src = Table.create(os.path.join(tmp_warehouse, "src2e"), SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "roll2e"), ROLLUP_DDL)
+    b1 = [(i % 3, float(i)) for i in range(20)]
+    src.append_dataframe(spark.createDataFrame(b1, SRC_DDL).coalesce(1))
+    refresh_rollup(spark, src, roll, ["k"], AGGS)
+    before = {f["path"] for f in src.files(content="data")}
+    b2 = [(i % 4, float(50 + i)) for i in range(11)]
+    src.append_dataframe(spark.createDataFrame(b2, SRC_DDL).coalesce(1))
+    delta_paths = [
+        f["path"] for f in src.files(content="data") if f["path"] not in before
+    ]
+    assert delta_paths
+
+    orig = roll.write_data_files
+    def delete_then_write(df, **kw):
+        for p in delta_paths:
+            os.remove(p.removeprefix("file:"))
+        return orig(df, **kw)
+    roll.write_data_files = delete_then_write  # type: ignore[method-assign]
+    try:
+        r = refresh_rollup(spark, src, roll, ["k"], AGGS)
+    finally:
+        roll.write_data_files = orig  # type: ignore[method-assign]
+    assert r["delta_rows"] == 11
+    assert _state(roll, spark) == _full(spark, b1 + b2)
 
 
 def test_refresh_rollup_hll_distinct_state(spark, tmp_warehouse):
@@ -118,10 +223,12 @@ def test_refresh_rollup_hll_distinct_state(spark, tmp_warehouse):
 
 
 def test_refresh_rollup_fuzz_interleavings(spark, tmp_warehouse):
-    """Random interleavings of appends and refreshes (including
-    back-to-back appends folded by ONE refresh, and refreshes with
-    nothing new) must always leave the rollup equal to a full
-    recompute over everything appended so far."""
+    """Random interleavings of appends, refreshes AND compaction
+    replace commits (the maintenance-coexistence contract): back-to-
+    back appends folded by one refresh, refreshes with nothing new,
+    compaction of counted files (folded around) and of pending appends
+    (recompute fallback) must all leave the rollup equal to a full
+    recompute over everything appended so far — no manual ordering."""
     import random
 
     rng = random.Random(20260817)
@@ -130,8 +237,10 @@ def test_refresh_rollup_fuzz_interleavings(spark, tmp_warehouse):
         roll = Table.create(os.path.join(tmp_warehouse, f"fz_roll{trial}"), ROLLUP_DDL)
         appended: list = []
         refreshed_through = 0
-        for step in range(6):
-            if rng.random() < 0.6:
+        compacted_in_window = False
+        for step in range(8):
+            roll_die = rng.random()
+            if roll_die < 0.5:
                 batch = [
                     (rng.randrange(3), float(rng.randrange(50)))
                     for _ in range(rng.randrange(1, 8))
@@ -140,10 +249,17 @@ def test_refresh_rollup_fuzz_interleavings(spark, tmp_warehouse):
                     spark.createDataFrame(batch, SRC_DDL).coalesce(1)
                 )
                 appended.extend(batch)
+            elif roll_die < 0.7 and appended:
+                # a replace commit lands mid-window — the refresh must
+                # cope without being told
+                compacted_in_window = len(appended) > refreshed_through
+                _compact(spark, src)
             else:
                 r = refresh_rollup(spark, src, roll, ["k"], AGGS)
-                assert r["delta_rows"] == len(appended) - refreshed_through
+                if not compacted_in_window:
+                    assert r["delta_rows"] == len(appended) - refreshed_through
                 refreshed_through = len(appended)
+                compacted_in_window = False
                 if refreshed_through:
                     assert _state(roll, spark) == _full(spark, appended)
         refresh_rollup(spark, src, roll, ["k"], AGGS)
