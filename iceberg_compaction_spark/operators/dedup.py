@@ -687,6 +687,7 @@ def incremental_minhash_dedup(
     rows_per_band: int = 2,
     hash_fn: str = "md5",
     intra: bool = True,
+    sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW increment (today's crawl) against the accumulated
     corpus WITHOUT rescanning the corpus: the index holds band
@@ -700,15 +701,19 @@ def incremental_minhash_dedup(
     Returns ``(survivors, new_index_rows)``; append ``new_index_rows``
     to the index table to absorb the increment. Signature params must
     match the ones the index was built with (``minhash_index``).
+    ``sigs`` lets a caller that already computed the increment's
+    signatures (the bucket-pruned table probe below) pass them in
+    instead of recomputing.
 
     Scale shape: signatures are computed for the INCREMENT only (the
     corpus is never touched); both the intra self-join and the index
     probe are equi-joins on near-uniform hash keys — no skew, no
     cross product, and the index side streams (left-semi, no
     materialization of matched rows)."""
-    sigs = minhash_signatures(
-        new_df, id_col, text_col, n, bands, rows_per_band, hash_fn
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            new_df, id_col, text_col, n, bands, rows_per_band, hash_fn
+        )
     victims = sigs.join(
         index_df.select("band", "signature"), ["band", "signature"], "left_semi"
     ).select(id_col)
@@ -726,6 +731,77 @@ def incremental_minhash_dedup(
     new_index = sigs.join(
         survivors.select(id_col), id_col, "left_semi"
     )
+    return survivors, new_index
+
+
+def incremental_minhash_dedup_indexed(
+    spark,
+    new_df: DataFrame,
+    index_table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    hash_fn: str = "md5",
+    intra: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """``incremental_minhash_dedup`` against a PERSISTED index
+    ``Table`` — the round-7 composition of the incremental probe with
+    bucket hidden partitioning: when the index table carries a
+    ``bucket_partition_spec`` on the signature column, the probe first
+    projects the increment's signatures through the spec expr and
+    restricts the index scan to exactly those partition values
+    (``Table.scan(partition_values=...)``). A daily increment then
+    opens only the index files whose bucket can contain a matching
+    signature, instead of the whole few-hundred-GB index — the same
+    metadata-first selection the reference applies to every plan
+    (crates/planner/src/file_selection.rs:205-217).
+
+    The bucket set is at most |buckets| values (spec-bounded, not
+    data-bounded), so the driver collect is O(spec). An unpartitioned
+    index degrades to a full scan — results are identical either way
+    (pruning drops only files whose partition value provably cannot
+    match). Pruned-file count is readable at
+    ``index_table.last_scan_pruned_files`` for plan gates.
+
+    Returns ``(survivors, new_index_rows)``; the caller appends
+    ``new_index_rows`` to ``index_table`` to absorb the increment —
+    ``write_data_files`` re-derives the bucket per row, keeping index
+    files partition-pure."""
+    from pyspark.sql import functions as F  # noqa: F811 (module-level alias)
+
+    sigs = minhash_signatures(
+        new_df, id_col, text_col, n, bands, rows_per_band, hash_fn
+    ).persist()
+    try:
+        spec = index_table.meta.get("partition") or {}
+        expr = spec.get("expr")
+        pvals = None
+        if expr and spec.get("source_col") == "signature":
+            pvals = {
+                r["pv"]
+                for r in sigs.select(
+                    F.expr(expr).cast("string").alias("pv")
+                ).distinct().collect()
+            }
+        # introspection for plan gates / self-gating queries: the exact
+        # bucket restriction this probe handed to the scan
+        index_table.last_probe_partition_values = pvals
+        if index_table.files(content="data"):
+            index_df = index_table.scan(spark, partition_values=pvals)
+        else:
+            index_df = spark.createDataFrame([], schema=index_table.schema())
+        survivors, new_index = incremental_minhash_dedup(
+            new_df, index_df, id_col, text_col, n, bands, rows_per_band,
+            hash_fn, intra, sigs=sigs,
+        )
+        # materialize inside the persist scope: both outputs derive
+        # from sigs, and the caller's actions run after unpersist
+        survivors = survivors.localCheckpoint(eager=True)
+        new_index = new_index.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
     return survivors, new_index
 
 

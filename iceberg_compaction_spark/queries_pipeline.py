@@ -2588,29 +2588,64 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (only their ``minhash_index`` band signatures are kept),
     odd-doc_id documents are today's increment. The increment is
     deduped against itself and the index by ``(band, signature)``
-    equi-joins — the corpus text is never rescanned. Self-gated: some
-    increment docs must hit the index or each other, and the index
-    delta must be exactly bands rows per survivor."""
+    equi-joins — the corpus text is never rescanned. Round 7: the index
+    lives in a ``bucket[16]``-partitioned ``Table`` and the probe
+    restricts its scan to the increment's signature buckets
+    (``incremental_minhash_dedup_indexed``) — metadata-first file
+    selection like the reference's planner
+    (crates/planner/src/file_selection.rs:205-217). Self-gated: some
+    increment docs must hit the index or each other, the index delta
+    must be exactly bands rows per survivor, and the probe's pruned-
+    file count must equal EXACTLY the index files outside the
+    increment's bucket set."""
     _utc(spark)
+    import shutil
+
     from iceberg_compaction_spark.operators.dedup import (
-        incremental_minhash_dedup,
+        incremental_minhash_dedup_indexed,
         minhash_index,
+    )
+    from iceberg_compaction_spark.sources.table import (
+        Table,
+        bucket_partition_spec,
     )
 
     docs = _t(spark, sf_dir, "documents")
     old = docs.filter("doc_id % 2 = 0")
     new = docs.filter("doc_id % 2 = 1")
-    with benchphase.phase("build"):  # the corpus index pre-exists in
-        # production — building it here is fixture cost, not the op
-        idx = minhash_index(old, bands=4).persist()
-        idx.count()
-    survivors, new_index = incremental_minhash_dedup(new, idx, bands=4)
-    n_new, n_surv = new.count(), survivors.count()
-    if not (0 < n_surv < n_new):
-        raise AssertionError(f"degenerate increment: {n_surv}/{n_new} survive")
-    if new_index.count() != 4 * n_surv:
-        raise AssertionError("index delta is not bands rows per survivor")
-    return survivors.select("doc_id")
+    tdir = tempfile.mkdtemp(prefix="icemaint_incdedup_")
+    try:
+        with benchphase.phase("build"):  # the corpus index pre-exists
+            # in production — building it here is fixture cost, not the op
+            idx_table = Table.create(
+                os.path.join(tdir, "minhash_index"),
+                "doc_id BIGINT, band INT, signature STRING",
+                partition=bucket_partition_spec("signature", 16),
+            )
+            idx_table.append_dataframe(minhash_index(old, bands=4))
+        survivors, new_index = incremental_minhash_dedup_indexed(
+            spark, new, idx_table, bands=4
+        )
+        n_new, n_surv = new.count(), survivors.count()
+        if not (0 < n_surv < n_new):
+            raise AssertionError(f"degenerate increment: {n_surv}/{n_new} survive")
+        if new_index.count() != 4 * n_surv:
+            raise AssertionError("index delta is not bands rows per survivor")
+        pvals = idx_table.last_probe_partition_values
+        if pvals is None:
+            raise AssertionError("bucket projection did not engage on the probe")
+        files = idx_table.files(content="data")
+        outside = sum(
+            1 for f in files if f["partition"] and f["partition"] not in pvals
+        )
+        if idx_table.last_scan_pruned_files != outside:
+            raise AssertionError(
+                f"probe pruned {idx_table.last_scan_pruned_files} index files, "
+                f"bucket accounting says exactly {outside} of {len(files)}"
+            )
+        return survivors.select("doc_id")
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
 
 
 INCREMENTAL_DEDUP_SQL = f"""

@@ -53,7 +53,7 @@ import json
 import os
 import time
 import uuid
-from typing import Sequence
+from typing import Collection, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1375,6 +1375,7 @@ class Table:
         filter: str | None = None,
         paths: Sequence[str] | None = None,
         as_of_ms: int | None = None,
+        partition_values: Collection[str] | None = None,
     ) -> DataFrame:
         """Snapshot-pinned MoR read: data files minus position/equality
         deletes, projected to user columns (SURVEY.md §3.4 grammar).
@@ -1421,6 +1422,28 @@ class Table:
             data_rows = [r for r in data_rows if r["path"] in want]
 
         self.last_scan_pruned_files = 0
+        if partition_values is not None and data_rows:
+            # caller-computed partition restriction (e.g. the LSH index
+            # probe projecting the increment's signatures through the
+            # bucket spec): keep only files whose materialized partition
+            # value is in the set. Files with no recorded value, or
+            # written under a pre-evolution spec (seq ≤ floor — their
+            # values came from the OLD expr), might hold matching rows
+            # and are kept, so the restriction can never change results.
+            pv = set(partition_values)
+            spec_floor = self.meta.get("partition_spec_floor")
+            before = len(data_rows)
+            data_rows = [
+                r
+                for r in data_rows
+                if not r.get("partition")
+                or (
+                    spec_floor is not None
+                    and r.get("sequence_number", 0) <= spec_floor
+                )
+                or r["partition"] in pv
+            ]
+            self.last_scan_pruned_files += before - len(data_rows)
         if filter and data_rows:
             from iceberg_compaction_spark.plans import pruning
 

@@ -202,7 +202,7 @@ def stream_dedup_append(
     import os
 
     from iceberg_compaction_spark.operators.dedup import (
-        incremental_minhash_dedup,
+        incremental_minhash_dedup_indexed,
         minhash_index,
     )
 
@@ -212,11 +212,6 @@ def stream_dedup_append(
     corpus_last, corpus_record = _stream_guard(table, stream_key)
     index_last, index_record = _stream_guard(index_table, stream_key)
     state = {"corpus": corpus_last(), "index": index_last()}
-
-    def _index_df(spark):
-        if index_table.files(content="data"):
-            return index_table.scan(spark)
-        return spark.createDataFrame([], schema=index_table.schema())
 
     def _absorb_pending(spark) -> None:
         """Append to the index the signatures of every corpus snapshot
@@ -257,9 +252,13 @@ def stream_dedup_append(
         if batch_id > state["corpus"]:
             if batch_df.isEmpty():
                 return
-            survivors, _delta = incremental_minhash_dedup(
+            # bucket-pruned table probe when the index table carries a
+            # signature bucket spec; plain full-index probe otherwise —
+            # identical results either way
+            survivors, _delta = incremental_minhash_dedup_indexed(
+                spark,
                 batch_df,
-                _index_df(spark),
+                index_table,
                 id_col,
                 text_col,
                 n,
