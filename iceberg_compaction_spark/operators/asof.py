@@ -108,9 +108,10 @@ def asof_join_salted(
     by: Sequence[str] | str,
     ts_col: str = "ts",
     bucket_width: float = 3600.0,
+    direction: str = "backward",
     suffix: str = "_r",
 ) -> DataFrame:
-    """``asof_join`` (backward only) for PATHOLOGICAL keys — the
+    """``asof_join`` for PATHOLOGICAL keys, both directions — the
     documented recipe for a single ``by`` key whose history exceeds one
     executor core's share, where any per-key window (including
     ``asof_join``'s) serializes.
@@ -119,15 +120,20 @@ def asof_join_salted(
     running over bucket-COUNT-sized rows — never by key alone:
       1. as-of join within each (key, bucket): splits the hot key into
          history/bucket_width independent partitions.
-      2. per (key, bucket) take the LAST right payload, then a
-         cumulative carry across buckets — a relation of
-         |keys|×|buckets| rows, thousands of times smaller than the
-         data, so its per-key window is trivially cheap.
-      3. left rows still unmatched after stage 1 (no right row earlier
-         in their own bucket) fill from the previous buckets' carry.
-    Result is row-identical to ``asof_join`` (pinned by a hypothesis
-    equivalence test); right rows must be unique per (by, ts) as
-    there."""
+      2. per (key, bucket) take the boundary right payload — the LAST
+         for ``backward``, the FIRST for ``forward`` — then a
+         cumulative carry across buckets (earlier buckets for
+         backward; strictly LATER buckets, scanned in reverse, for
+         forward) — a relation of |keys|×|buckets| rows, thousands of
+         times smaller than the data, so its per-key window is
+         trivially cheap.
+      3. left rows still unmatched after stage 1 (no right row on the
+         required side in their own bucket) fill from the carry.
+    Result is row-identical to ``asof_join`` in the same direction
+    (pinned by a hypothesis equivalence test); right rows must be
+    unique per (by, ts) as there."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     payload_cols = [c for c in right.columns if c not in by]
 
@@ -140,10 +146,19 @@ def asof_join_salted(
     rb = right.withColumn("_bkt", F.floor(_num(right, ts_col) / F.lit(float(bucket_width))))
 
     # stage 1: within-bucket as-of (the hot key is now split)
-    stage1 = asof_join(lb, rb, by=[*by, "_bkt"], ts_col=ts_col, suffix=suffix)
+    stage1 = asof_join(
+        lb, rb, by=[*by, "_bkt"], ts_col=ts_col, direction=direction, suffix=suffix
+    )
 
-    # stage 2: bucket-end payloads + cumulative carry from EARLIER buckets
-    wlast = Window.partitionBy(*by, "_bkt").orderBy(F.desc("_asof_ord"))
+    # stage 2: per-bucket boundary payloads + cross-bucket carry.
+    # backward: the bucket's LAST payload, carried forward from earlier
+    # buckets. forward: the bucket's FIRST payload, carried backward —
+    # scanning buckets in DESCENDING order makes last(ignorenulls) over
+    # the preceding frame yield the NEAREST later bucket's payload.
+    backward = direction == "backward"
+    wlast = Window.partitionBy(*by, "_bkt").orderBy(
+        F.desc("_asof_ord") if backward else F.asc("_asof_ord")
+    )
     ends = (
         rb.withColumn("_asof_ord", _num(rb, ts_col))
         .withColumn("_rn", F.row_number().over(wlast))
@@ -152,11 +167,12 @@ def asof_join_salted(
     )
     wcarry = (
         Window.partitionBy(*by)
-        .orderBy("_bkt")
+        .orderBy(F.asc("_bkt") if backward else F.desc("_bkt"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # carry rows: for every bucket PRESENT ON EITHER SIDE, the last
-    # payload from strictly earlier right buckets
+    # carry rows: for every bucket PRESENT ON EITHER SIDE, the boundary
+    # payload from the nearest strictly earlier (backward) / later
+    # (forward) right bucket
     bkts = (
         lb.select(*by, "_bkt")
         .unionByName(rb.select(*by, "_bkt"))

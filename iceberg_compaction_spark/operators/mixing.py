@@ -84,11 +84,30 @@ def mixture_resample(
     )
 
 
+#: default per-shard row bound for the validated/auto-derived export
+#: paths: one shard is one window partition (sorted on one core), and
+#: ~1M rows of few-KB documents is a low-GB sort that fits executor
+#: memory with headroom — the SCALE.md "n_shards floor" contract
+DEFAULT_MAX_ROWS_PER_SHARD = 1_000_000
+
+
+def shard_floor(n_rows: int, max_rows_per_shard: int = DEFAULT_MAX_ROWS_PER_SHARD) -> int:
+    """Smallest n_shards that keeps expected rows/shard under the
+    bound. Shard keys are uniform md5 draws, so per-shard counts
+    concentrate tightly around n_rows/n_shards (binomial; the ±4σ
+    spread is <1% at these sizes) — the floor is computed on the
+    expectation."""
+    if max_rows_per_shard <= 0:
+        raise ValueError(f"max_rows_per_shard must be positive, got {max_rows_per_shard}")
+    return max(1, -(-int(n_rows) // int(max_rows_per_shard)))
+
+
 def export_shards(
     df: DataFrame,
     n_shards: int,
     id_col: str = "doc_id",
     seed: str = "train-v1",
+    max_rows_per_shard: int | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle for training export: every row gets
     a shard in [0, n_shards) and a dense 1-based rank inside its shard,
@@ -99,7 +118,24 @@ def export_shards(
     shard = md5₃₂(seed:id) mod n_shards; within-shard order is the
     hash value itself (id as tiebreak for the 2⁻³² collision case).
     One shuffle (the per-shard window); shard keys are uniform by
-    construction, so the window never sees a hot key at any scale."""
+    construction, so the window never sees a hot key at any scale.
+
+    The seam is shard COUNT, not key skew: one shard is ONE window
+    partition sorted on one core, corpus/n_shards rows — with a small
+    n_shards on a large corpus that single sort is the bottleneck and
+    can spill. Pass ``max_rows_per_shard`` (or use ``write_shards``,
+    which validates by default) to enforce the documented floor:
+    n_shards ≥ ceil(rows / max_rows_per_shard) — the check costs one
+    count of ``df``."""
+    if max_rows_per_shard is not None:
+        n_rows = df.count()
+        floor_n = shard_floor(n_rows, max_rows_per_shard)
+        if n_shards < floor_n:
+            raise ValueError(
+                f"n_shards={n_shards} puts ~{n_rows // max(1, n_shards)} rows in "
+                f"each single-reducer shard partition (> {max_rows_per_shard}); "
+                f"use n_shards >= {floor_n} for this {n_rows}-row corpus"
+            )
     key = _hash32(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
     w = Window.partitionBy("shard").orderBy("sort_key", id_col)
     return (
@@ -110,15 +146,26 @@ def export_shards(
 
 
 def write_shards(
-    df: DataFrame, path: str, n_shards: int, id_col: str = "doc_id",
+    df: DataFrame, path: str, n_shards: int | None = None, id_col: str = "doc_id",
     seed: str = "train-v1",
-) -> None:
+    max_rows_per_shard: int = DEFAULT_MAX_ROWS_PER_SHARD,
+) -> int:
     """Materialize the export: one directory per shard
     (``shard=K/``), rows within each file in shard_rank order.
     ``repartition(shard)`` + ``sortWithinPartitions`` keeps the write
     single-pass (the window in export_shards already shuffled by the
-    same key, so AQE coalesces rather than re-exchanging)."""
-    out = export_shards(df, n_shards, id_col, seed)
+    same key, so AQE coalesces rather than re-exchanging).
+
+    ``n_shards=None`` auto-derives the count from the corpus size
+    (``shard_floor``); an explicit ``n_shards`` below the floor raises
+    rather than silently serializing the export through a handful of
+    giant sorts. Returns the shard count used."""
+    if n_shards is None:
+        n_shards = shard_floor(df.count(), max_rows_per_shard)
+        checked = None  # already at the floor by construction
+    else:
+        checked = max_rows_per_shard
+    out = export_shards(df, n_shards, id_col, seed, max_rows_per_shard=checked)
     (
         out.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shard_rank")
@@ -126,3 +173,4 @@ def write_shards(
         .mode("overwrite")
         .parquet(path)
     )
+    return n_shards

@@ -87,13 +87,18 @@ def test_asof_join_plan_is_single_window_no_join(spark):
 
 
 @settings(max_examples=10, deadline=None)
-@given(_rows, _rows, st.sampled_from([1.0, 4.0, 100.0]))
-def test_asof_join_salted_equivalent(spark, left, right, w):
+@given(
+    _rows,
+    _rows,
+    st.sampled_from([1.0, 4.0, 100.0]),
+    st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_salted_equivalent(spark, left, right, w, direction):
     """The hot-key form (bucketed windows + cross-bucket carry) must be
-    row-identical to the plain as-of join for every bucket width —
-    including widths that force the carry path (w=1: most matches come
-    from earlier buckets) and one that degenerates to a single bucket
-    (w=100)."""
+    row-identical to the plain as-of join for every bucket width and
+    BOTH directions — including widths that force the carry path (w=1:
+    most matches come from a neighbouring bucket) and one that
+    degenerates to a single bucket (w=100)."""
     from iceberg_compaction_spark.operators.asof import asof_join_salted
 
     right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
@@ -108,18 +113,22 @@ def test_asof_join_salted_equivalent(spark, left, right, w):
         rdf = rdf.filter("ts > 0")
     cols = ("key", "ts", "lval", "ts_r", "rval_r")
     plain = sorted(
-        tuple(r[c] for c in cols) for r in asof_join(ldf, rdf, by="key").collect()
+        tuple(r[c] for c in cols)
+        for r in asof_join(ldf, rdf, by="key", direction=direction).collect()
     )
     salted = sorted(
         tuple(r[c] for c in cols)
-        for r in asof_join_salted(ldf, rdf, by="key", bucket_width=w).collect()
+        for r in asof_join_salted(
+            ldf, rdf, by="key", bucket_width=w, direction=direction
+        ).collect()
     )
-    assert plain == salted, (left, right, w)
+    assert plain == salted, (left, right, w, direction)
 
 
 def test_asof_join_salted_splits_hot_key_partitions(spark):
     """The stage-1 window must partition by (key, bucket) — the hot
-    key's rows land in many window partitions, not one."""
+    key's rows land in many window partitions, not one — in BOTH
+    directions."""
     from iceberg_compaction_spark.operators.asof import asof_join_salted
 
     ldf = spark.range(1000).selectExpr("0 AS key", "id AS ts", "id AS lval")
@@ -130,6 +139,16 @@ def test_asof_join_salted_splits_hot_key_partitions(spark):
     # correctness spot check: ts=999 -> last right at 990
     row = [r for r in df.collect() if r["ts"] == 999][0]
     assert row["ts_r"] == 990 and row["rval_r"] == 99
+
+    fwd = asof_join_salted(ldf, rdf, by="key", bucket_width=50.0, direction="forward")
+    plan_f = fwd._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan_f
+    # forward spot checks: ts=995 -> no later right row (NULL);
+    # ts=941 -> next right at 950, which lives in the NEXT 50-wide
+    # bucket, so the match comes from the cross-bucket carry
+    rows = {r["ts"]: r for r in fwd.collect()}
+    assert rows[995]["ts_r"] is None and rows[995]["rval_r"] is None
+    assert rows[941]["ts_r"] == 950 and rows[941]["rval_r"] == 95
 
 
 def test_asof_join_null_ts_semantics(spark):

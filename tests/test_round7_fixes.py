@@ -142,6 +142,35 @@ def test_indexed_probe_prunes_bucket_partitions(spark, tmp_warehouse):
     ]
 
 
+def test_export_shards_floor_validation(spark, tmp_warehouse):
+    """VERDICT r6 next #6: one shard = one single-reducer sort, so a
+    too-small n_shards must be rejected against the documented
+    rows-per-shard bound, and write_shards can auto-derive the floor."""
+    from iceberg_compaction_spark.operators.mixing import (
+        export_shards,
+        shard_floor,
+        write_shards,
+    )
+
+    assert shard_floor(0) == 1
+    assert shard_floor(1_000_000) == 1
+    assert shard_floor(1_000_001) == 2
+    df = spark.range(1000).selectExpr("id AS doc_id", "'x' AS text")
+    with pytest.raises(ValueError, match="n_shards >= 10"):
+        export_shards(df, 2, max_rows_per_shard=100)
+    out = export_shards(df, 10, max_rows_per_shard=100)  # exactly the floor
+    assert out.count() == 1000
+    # unvalidated call unchanged (oracle path)
+    assert export_shards(df, 2).count() == 1000
+
+    path = os.path.join(tmp_warehouse, "shards")
+    n = write_shards(df, path, max_rows_per_shard=100)  # auto-derived
+    assert n == 10
+    back = spark.read.parquet(path)
+    assert back.select("shard").distinct().count() == 10
+    assert back.count() == 1000
+
+
 def test_streaming_pending_sort_key_is_batch_id_only():
     """ADVICE r6 (low): sorting (batch_id, snapshot_dict) tuples falls
     through to dict< dict on a tie and raises TypeError — the sort key
