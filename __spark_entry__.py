@@ -4,21 +4,22 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 84 queries, 82 of them
+training-data pipeline operators — 86 queries, 84 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
 driver's rows-only check; their correctness is pinned by tests/.
 
 Ordering note: the driver records a bounded (50-row) prefix of this
-dict, so the LEAST-driver-proven queries come FIRST. Round-6 order:
-the 16 round-6 additions lead (never driver-checked), then the 19 keys
-past round 5's window (r1/r2 basics through parallelism_formula, last
-driver-proven in r2-r4), then the flagship and engine core; the
-round-5 additions — all freshly driver-proven in CORRECTNESS_r05 —
-take the tail. Every key, window or not, is replica-checked every
-round by tests/test_oracle_parity.py (same row-count + schema +
-value-multiset comparison at sf0.01).
+dict, so the LEAST-driver-proven queries come FIRST. Round-7 order:
+the 2 round-7 additions lead (never driver-checked: the forward
+salted as-of join and the maintenance-coexisting rollup refresh),
+then the 34 keys past round 6's window (last driver-proven in
+CORRECTNESS_r05 — two rounds stale without this rotation), then the
+round-6 additions (proven r6); the flagship and engine core —
+freshly proven in CORRECTNESS_r06 — take the tail. Every key, window
+or not, is replica-checked every round by tests/test_oracle_parity.py
+(same row-count + schema + value-multiset comparison at sf0.01).
 """
 
 from __future__ import annotations
@@ -42,62 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round 6: never driver-checked yet ---
-        "filtered_rewrite_scan": QP.q_filtered_rewrite_scan,
-        "incremental_dedup": QP.q_incremental_dedup,
-        "asof_join": QP.q_asof_join,
-        "asof_join_forward": QP.q_asof_join_forward,
-        "range_join": QP.q_range_join,
-        "rollup_refresh": QP.q_rollup_refresh,
-        "duplicate_spans": QP.q_duplicate_spans,
-        "span_trim": QP.q_span_trim,
-        "mixture_resample": QP.q_mixture_resample,
-        "export_shards": QP.q_export_shards,
-        "hashed_classifier": QP.q_hashed_classifier,
-        "line_cleaning": QP.q_line_cleaning,
-        "bucket_pruned_lookup": QP.q_bucket_pruned_lookup,
-        "pii_redaction": QP.q_pii_redaction,
-        "datasource_write_roundtrip": QP.q_datasource_write_roundtrip,
-        # --- round 6 rotation: the 19 keys past round 5's 50-row
-        # --- driver window come FIRST so every query's driver proof is
-        # --- at most two rounds old ---
-        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
-        "minhash_band_signatures": QP.q_minhash_band_signatures,
-        "mor_position_delete": Q.q_mor_position_delete,
-        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
-        "exact_dedup": QP.q_exact_dedup,
-        "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
-        "zorder_key": Q.q_zorder_key,
-        "hilbert_key": Q.q_hilbert_key,
-        "pricing_summary": Q.q_pricing_summary,
-        "sessionization": Q.q_sessionization,
-        "hot_keys": Q.q_hot_keys,
-        "salted_aggregation": Q.q_salted_aggregation,
-        "topk_per_conversation": Q.q_topk_per_conversation,
-        "corpus_filter": QP.q_corpus_filter,
-        "delete_counts": Q.q_delete_counts,
-        "commit_summary_rollup": Q.q_commit_summary_rollup,
-        "size_histogram": Q.q_size_histogram,
-        "group_totals": Q.q_group_totals,
-        "parallelism_formula": Q.q_parallelism_formula,
-        # --- flagship + engine core (r5-proven; re-proven this round
-        # --- inside the window) ---
-        "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
-        "maintenance_lifecycle_scan": QP.q_maintenance_lifecycle_scan,
-        "wap_publish_scan": QP.q_wap_publish_scan,
-        "rollback_scan": QP.q_rollback_scan,
-        "partition_evolution_scan": QP.q_partition_evolution_scan,
-        "update_where_roundtrip": QP.q_update_where_roundtrip,
-        "analyze_column_stats": QP.q_analyze_column_stats,
-        "partition_counts": QP.q_partition_counts,
-        "metadata_count_with_deletes": QP.q_metadata_count_with_deletes,
-        "changelog_scan": QP.q_changelog_scan,
-        "incremental_scan": QP.q_incremental_scan,
-        "metadata_count": QP.q_metadata_count,
-        "minmax_pushdown": QP.q_minmax_pushdown,
-        "schema_evolution_scan": QP.q_schema_evolution_scan,
-        "rename_evolution_scan": QP.q_rename_evolution_scan,
-        "type_evolution_scan": QP.q_type_evolution_scan,
+        # --- round 7: never driver-checked yet ---
+        "asof_join_salted": QP.q_asof_join_salted,
+        "rollup_refresh_maintain": QP.q_rollup_refresh_maintain,
+        # --- round 7 rotation: the 34 keys past round 6's 50-row
+        # --- driver window come NEXT so every query's driver proof is
+        # --- at most two rounds old (these were last proven in r5) ---
         "delete_where_roundtrip": QP.q_delete_where_roundtrip,
         "merge_into_roundtrip": QP.q_merge_into_roundtrip,
         "time_travel_scan": QP.q_time_travel_scan,
@@ -113,9 +64,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
         "stream_sessionization": QP.q_stream_sessionization,
         "neardup_clusters": QP.q_neardup_clusters,
-        # --- tail: round-5 additions, all driver-proven green in
-        # --- CORRECTNESS_r05 and replica-checked every round by
-        # --- tests/test_oracle_parity.py ---
         "eq_delete_consolidation": QP.q_eq_delete_consolidation,
         "spec_migration_scan": QP.q_spec_migration_scan,
         "decontamination": QP.q_decontamination,
@@ -136,11 +84,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design (no SQL oracle; self-gating in-query)
         "lsh_ann_topk": QP.q_lsh_ann_topk,
         "multimodal_features": QP.q_multimodal_features,
+        # --- round-6 additions (driver-proven in CORRECTNESS_r06; the
+        # --- first ~14 land inside this round's window again) ---
+        "filtered_rewrite_scan": QP.q_filtered_rewrite_scan,
+        "incremental_dedup": QP.q_incremental_dedup,
+        "asof_join": QP.q_asof_join,
+        "asof_join_forward": QP.q_asof_join_forward,
+        "range_join": QP.q_range_join,
+        "rollup_refresh": QP.q_rollup_refresh,
+        "duplicate_spans": QP.q_duplicate_spans,
+        "span_trim": QP.q_span_trim,
+        "mixture_resample": QP.q_mixture_resample,
+        "export_shards": QP.q_export_shards,
+        "hashed_classifier": QP.q_hashed_classifier,
+        "line_cleaning": QP.q_line_cleaning,
+        "bucket_pruned_lookup": QP.q_bucket_pruned_lookup,
+        "pii_redaction": QP.q_pii_redaction,
+        "datasource_write_roundtrip": QP.q_datasource_write_roundtrip,
+        "orphan_files_antijoin": Q.q_orphan_files_antijoin,
+        # --- tail: engine basics + flagship + core, all driver-proven
+        # --- green in CORRECTNESS_r06 and replica-checked every round
+        # --- by tests/test_oracle_parity.py ---
+        "minhash_band_signatures": QP.q_minhash_band_signatures,
+        "mor_position_delete": Q.q_mor_position_delete,
+        "merge_upsert_dedup": Q.q_merge_upsert_dedup,
+        "exact_dedup": QP.q_exact_dedup,
+        "ngram_jaccard_pairs": QP.q_ngram_jaccard_pairs,
+        "zorder_key": Q.q_zorder_key,
+        "hilbert_key": Q.q_hilbert_key,
+        "pricing_summary": Q.q_pricing_summary,
+        "sessionization": Q.q_sessionization,
+        "hot_keys": Q.q_hot_keys,
+        "salted_aggregation": Q.q_salted_aggregation,
+        "topk_per_conversation": Q.q_topk_per_conversation,
+        "corpus_filter": QP.q_corpus_filter,
+        "delete_counts": Q.q_delete_counts,
+        "commit_summary_rollup": Q.q_commit_summary_rollup,
+        "size_histogram": Q.q_size_histogram,
+        "group_totals": Q.q_group_totals,
+        "parallelism_formula": Q.q_parallelism_formula,
+        "transcripts_compaction_roundtrip": QP.q_transcripts_compaction_roundtrip,
+        "maintenance_lifecycle_scan": QP.q_maintenance_lifecycle_scan,
+        "wap_publish_scan": QP.q_wap_publish_scan,
+        "rollback_scan": QP.q_rollback_scan,
+        "partition_evolution_scan": QP.q_partition_evolution_scan,
+        "update_where_roundtrip": QP.q_update_where_roundtrip,
+        "analyze_column_stats": QP.q_analyze_column_stats,
+        "partition_counts": QP.q_partition_counts,
+        "metadata_count_with_deletes": QP.q_metadata_count_with_deletes,
+        "changelog_scan": QP.q_changelog_scan,
+        "incremental_scan": QP.q_incremental_scan,
+        "metadata_count": QP.q_metadata_count,
+        "minmax_pushdown": QP.q_minmax_pushdown,
+        "schema_evolution_scan": QP.q_schema_evolution_scan,
+        "rename_evolution_scan": QP.q_rename_evolution_scan,
+        "type_evolution_scan": QP.q_type_evolution_scan,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_join_salted": QP.ASOF_JOIN_SALTED_SQL,
+        "rollup_refresh_maintain": QP.ROLLUP_REFRESH_MAINTAIN_SQL,
         "filtered_rewrite_scan": QP.FILTERED_REWRITE_SCAN_SQL,
         "incremental_dedup": QP.INCREMENTAL_DEDUP_SQL,
         "asof_join": QP.ASOF_JOIN_SQL,

@@ -2861,3 +2861,146 @@ SELECT c.event_id, c.user_id,
 FROM clicks c ASOF LEFT JOIN buys v
   ON c.user_id = v.user_id AND c.ts <= v.ts
 """
+
+
+def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7: the HOT-KEY as-of form in the FORWARD direction
+    (`operators/asof.py::asof_join_salted`): the same clicks→next-
+    purchase lookup as `asof_join_forward`, but computed through
+    (user, 6h-time-bucket) windows with a cross-bucket carry — the
+    recipe for a key whose history exceeds one core. Must be
+    row-identical to the plain form, so it shares the DuckDB ASOF
+    oracle. Self-gated: the bucket width must actually split the
+    timeline (>1 bucket) and some match must cross a bucket boundary
+    (the carry path is exercised, not just stage 1)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.asof import asof_join, asof_join_salted
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    buys = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("buy_event_id"))
+    )
+    out = asof_join_salted(
+        clicks, buys, by="user_id", bucket_width=21600.0, direction="forward"
+    )
+    n_buckets = clicks.select(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 21600.0)
+    ).distinct().count()
+    if n_buckets < 2:
+        raise AssertionError(f"bucket width does not split the timeline: {n_buckets}")
+    cross = out.filter(
+        F.col("ts_r").isNotNull()
+        & (
+            F.floor(F.col("ts").cast("timestamp").cast("double") / 21600.0)
+            != F.floor(F.col("ts_r").cast("timestamp").cast("double") / 21600.0)
+        )
+    ).count()
+    if cross == 0:
+        raise AssertionError("no match crossed a bucket boundary: carry untested")
+    plain_n = asof_join(clicks, buys, by="user_id", direction="forward").count()
+    if out.count() != plain_n:
+        raise AssertionError("salted form row count differs from plain as-of")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("ts_r").alias("buy_ts_epoch"),
+        F.col("buy_event_id_r").alias("buy_event_id"),
+    )
+
+
+ASOF_JOIN_SALTED_SQL = ASOF_JOIN_FORWARD_SQL
+
+
+def q_rollup_refresh_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7: rollup refresh COEXISTING with maintenance
+    (`operators/rollup.py`): refresh, then compact the source (a
+    replace commit of already-counted files), then append + refresh
+    again. The second refresh must stay INCREMENTAL — the rewrite's
+    outputs re-add counted rows and are folded around, so only the new
+    append is scanned; no manual ordering between ingest and
+    maintenance. Self-gated on the refresh mode and on the deltas
+    partitioning the input; final state must equal the full-recompute
+    SQL."""
+    _utc(spark)
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.operators.rollup import refresh_rollup
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_rollm_")
+    src_loc = os.path.join(tdir, "src")
+    roll_loc = os.path.join(tdir, "roll")
+    try:
+        ev_ddl = (
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        aggs = {
+            "cnt": ("count", ""),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        }
+        src = Table.create(src_loc, ev_ddl)
+        roll = Table.create(
+            roll_loc,
+            "event_type STRING, cnt BIGINT, sum_value DOUBLE, "
+            "min_value DOUBLE, max_value DOUBLE",
+        )
+        ev = _t(spark, sf_dir, "events")
+        # two appends -> the compaction below has >1 input file
+        src.append_dataframe(ev.filter("event_id % 4 = 0").select(cols))
+        src.append_dataframe(ev.filter("event_id % 4 = 2").select(cols))
+        r1 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
+        CompactionRunner(
+            spark,
+            src,
+            CompactionConfig(
+                selection=SelectionStrategy.FULL,
+                grouping=GroupingStrategy.SINGLE,
+                sort_order=(("event_id", False),),
+            ),
+        ).execute()
+        src.append_dataframe(ev.filter("event_id % 2 = 1").select(cols))
+        r2 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
+        if r2["mode"] != "incremental":
+            raise AssertionError(
+                f"replace of counted files forced {r2['mode']}; expected fold-around"
+            )
+        n_total = ev.count()
+        if r1["delta_rows"] + r2["delta_rows"] != n_total:
+            raise AssertionError("refresh deltas do not partition the input")
+        if not (0 < r2["delta_rows"] < n_total):
+            raise AssertionError(f"refresh was not incremental: {r2}")
+        out = roll.scan(spark).select(
+            "event_type",
+            "cnt",
+            F.round("sum_value", 3).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(src_loc, ignore_errors=True)
+        shutil.rmtree(roll_loc, ignore_errors=True)
+
+
+ROLLUP_REFRESH_MAINTAIN_SQL = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 3) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
