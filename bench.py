@@ -156,10 +156,17 @@ def _wait_for_quiet(cores_needed: int, timeout_s: float = 120.0) -> bool:
     starts during a neighbor's CPU burst measures the neighbor, not the
     engine. Wait (bounded) until enough cores are actually idle.
     Returns whether quiet was actually reached — a False means the rep
-    that follows ran under load and its time is suspect."""
+    that follows ran under load and its time is suspect.
+
+    The idle threshold is capped at total_cpus - 1: asking for
+    cores_needed + 2 when cores_needed == total (the headline sweep on
+    local[32]) would be unsatisfiable and burn the whole timeout on a
+    perfectly idle host."""
+    total = os.cpu_count() or 1
+    need = min(cores_needed + 2, total - 1)
     deadline = time.time() + timeout_s
     while time.time() < deadline:
-        if _idle_cpus() >= cores_needed + 2:
+        if _idle_cpus() >= need:
             return True
         time.sleep(2)
     return False

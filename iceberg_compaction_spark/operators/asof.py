@@ -46,13 +46,23 @@ def asof_join(
     suffix: str = "_r",
 ) -> DataFrame:
     """For each left row: the latest right row with ``right.ts <=
-    left.ts`` (``backward``) or the earliest with ``right.ts >=
-    left.ts`` (``forward``) in the same ``by`` group. Right's non-key
-    columns are appended with ``suffix`` (its ``ts_col`` becomes e.g.
-    ``ts_r``), NULL when no right row qualifies — i.e. an AS OF LEFT
-    JOIN."""
+    left.ts`` (``backward``), the earliest with ``right.ts >= left.ts``
+    (``forward``), or whichever of the two is temporally closer
+    (``nearest``, ties to backward — pandas ``merge_asof`` semantics)
+    in the same ``by`` group. Right's non-key columns are appended
+    with ``suffix`` (its ``ts_col`` becomes e.g. ``ts_r``), NULL when
+    no right row qualifies — i.e. an AS OF LEFT JOIN.
+
+    ``nearest`` stays ONE shuffle: both directional fills run as two
+    windows over the same hash partitioning (Catalyst plans one
+    Exchange + two Sorts), then a row-local CASE picks the closer
+    candidate."""
+    if direction == "nearest":
+        return _asof_join_nearest(left, right, by, ts_col, suffix)
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = [by] if isinstance(by, str) else list(by)
     left_cols = left.columns
     payload_cols = [c for c in right.columns if c not in by]
@@ -100,6 +110,91 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_asof_tag") == 1).drop("_asof_tag")
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str] | str,
+    ts_col: str,
+    suffix: str,
+) -> DataFrame:
+    """``direction="nearest"``: the union-tag frame computes BOTH
+    directional running fills as two windows over one hash
+    partitioning (one Exchange, two in-partition Sorts), then a
+    row-local comparison keeps the temporally closer candidate —
+    backward on ties and on NULL left ts (matching ``backward``'s
+    NULL-row behavior)."""
+    by = [by] if isinstance(by, str) else list(by)
+    left_cols = left.columns
+    payload_cols = [c for c in right.columns if c not in by]
+    if not payload_cols:
+        raise ValueError("right side has no payload columns beyond the keys")
+    right = right.filter(F.col(ts_col).isNotNull())
+
+    tagged_left = left.select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+            for c in payload_cols
+        ],
+        F.lit(1).alias("_asof_tag"),
+        F.col(ts_col).alias("_asof_ts"),
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in by else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        *[F.col(c).alias(c + suffix) for c in payload_cols],
+        F.lit(0).alias("_asof_tag"),
+        F.col(ts_col).alias("_asof_ts"),
+    )
+    both = tagged_left.unionByName(tagged_right)
+
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(F.asc_nulls_first("_asof_ts"), F.asc("_asof_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.desc_nulls_first("_asof_ts"), F.asc("_asof_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.select(
+        *left_cols,
+        "_asof_tag",
+        *[
+            F.last(c + suffix, ignorenulls=True).over(wb).alias(c + "__b")
+            for c in payload_cols
+        ],
+        *[
+            F.last(c + suffix, ignorenulls=True).over(wf).alias(c + "__f")
+            for c in payload_cols
+        ],
+    ).filter(F.col("_asof_tag") == 1)
+
+    def _sec(col):
+        return col.cast("timestamp").cast("double") if str(
+            left.schema[ts_col].dataType
+        ).lower().startswith("timestamp") else col.cast("double")
+
+    lts = _sec(F.col(ts_col))
+    bts = _sec(F.col(ts_col + "__b"))
+    fts = _sec(F.col(ts_col + "__f"))
+    use_backward = F.col(ts_col + "__f").isNull() | (
+        F.col(ts_col + "__b").isNotNull() & ((lts - bts) <= (fts - lts))
+    )
+    return filled.select(
+        *left_cols,
+        *[
+            F.when(use_backward, F.col(c + "__b"))
+            .otherwise(F.col(c + "__f"))
+            .alias(c + suffix)
+            for c in payload_cols
+        ],
+    )
 
 
 def asof_join_salted(

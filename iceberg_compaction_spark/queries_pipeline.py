@@ -2782,16 +2782,18 @@ def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value": ("min", "value"),
             "max_value": ("max", "value"),
         }
-        src = Table.create(src_loc, ev_ddl)
-        roll = Table.create(
-            roll_loc,
-            "event_type STRING, cnt BIGINT, sum_value DOUBLE, "
-            "min_value DOUBLE, max_value DOUBLE",
-        )
         ev = _t(spark, sf_dir, "events")
-        src.append_dataframe(ev.filter("event_id % 2 = 0").select(cols))
+        with benchphase.phase("build"):  # warehouse fixture, not the op
+            src = Table.create(src_loc, ev_ddl)
+            roll = Table.create(
+                roll_loc,
+                "event_type STRING, cnt BIGINT, sum_value DOUBLE, "
+                "min_value DOUBLE, max_value DOUBLE",
+            )
+            src.append_dataframe(ev.filter("event_id % 2 = 0").select(cols))
         r1 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
-        src.append_dataframe(ev.filter("event_id % 2 = 1").select(cols))
+        with benchphase.phase("build"):
+            src.append_dataframe(ev.filter("event_id % 2 = 1").select(cols))
         r2 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
         n_total = ev.count()
         if not (0 < r2["delta_rows"] < n_total):
@@ -2915,6 +2917,71 @@ def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_JOIN_SALTED_SQL = ASOF_JOIN_FORWARD_SQL
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7: NEAREST as-of join (pandas ``merge_asof`` semantics) —
+    each click picks the temporally CLOSEST view of the same user,
+    ties to the at-or-before side. One shuffle: both directional fills
+    run as two windows over the same hash partitioning
+    (`operators/asof.py::_asof_join_nearest`). Oracle: two DuckDB ASOF
+    joins + a CASE on the distances. Self-gated: both sides must win
+    somewhere (some row matched backward-closer, some forward-closer),
+    so the CASE is exercised in both branches."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(clicks, views, by="user_id", direction="nearest")
+    n_back = out.filter(F.col("ts_r") <= F.col("ts")).count()
+    n_fwd = out.filter(F.col("ts_r") > F.col("ts")).count()
+    if not (n_back > 0 and n_fwd > 0):
+        raise AssertionError(
+            f"degenerate nearest fixture: {n_back} backward, {n_fwd} forward wins"
+        )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("ts_r").alias("view_ts_epoch"),
+        F.col("view_event_id_r").alias("view_event_id"),
+    )
+
+
+ASOF_JOIN_NEAREST_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+b AS (
+  SELECT c.event_id, v.ts AS vts, v.view_event_id AS vid
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts >= v.ts),
+f AS (
+  SELECT c.event_id, v.ts AS vts, v.view_event_id AS vid
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts <= v.ts)
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+       CAST(floor(epoch(CASE WHEN f.vts IS NULL
+                 OR (b.vts IS NOT NULL
+                     AND epoch(c.ts) - epoch(b.vts) <= epoch(f.vts) - epoch(c.ts))
+            THEN b.vts ELSE f.vts END)) AS BIGINT) AS view_ts_epoch,
+       CASE WHEN f.vts IS NULL
+                 OR (b.vts IS NOT NULL
+                     AND epoch(c.ts) - epoch(b.vts) <= epoch(f.vts) - epoch(c.ts))
+            THEN b.vid ELSE f.vid END AS view_event_id
+FROM clicks c
+JOIN b ON b.event_id = c.event_id
+JOIN f ON f.event_id = c.event_id
+"""
+
+
 def q_rollup_refresh_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 7: rollup refresh COEXISTING with maintenance
     (`operators/rollup.py`): refresh, then compact the source (a
@@ -2950,27 +3017,31 @@ def q_rollup_refresh_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value": ("min", "value"),
             "max_value": ("max", "value"),
         }
-        src = Table.create(src_loc, ev_ddl)
-        roll = Table.create(
-            roll_loc,
-            "event_type STRING, cnt BIGINT, sum_value DOUBLE, "
-            "min_value DOUBLE, max_value DOUBLE",
-        )
         ev = _t(spark, sf_dir, "events")
-        # two appends -> the compaction below has >1 input file
-        src.append_dataframe(ev.filter("event_id % 4 = 0").select(cols))
-        src.append_dataframe(ev.filter("event_id % 4 = 2").select(cols))
+        with benchphase.phase("build"):  # fixture: tables + appends
+            src = Table.create(src_loc, ev_ddl)
+            roll = Table.create(
+                roll_loc,
+                "event_type STRING, cnt BIGINT, sum_value DOUBLE, "
+                "min_value DOUBLE, max_value DOUBLE",
+            )
+            # two appends -> the compaction below has >1 input file
+            src.append_dataframe(ev.filter("event_id % 4 = 0").select(cols))
+            src.append_dataframe(ev.filter("event_id % 4 = 2").select(cols))
         r1 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
-        CompactionRunner(
-            spark,
-            src,
-            CompactionConfig(
-                selection=SelectionStrategy.FULL,
-                grouping=GroupingStrategy.SINGLE,
-                sort_order=(("event_id", False),),
-            ),
-        ).execute()
-        src.append_dataframe(ev.filter("event_id % 2 = 1").select(cols))
+        with benchphase.phase("build"):  # the interleaved maintenance
+            # and follow-up append are scenario fixture; the measured
+            # op is the refresh that must fold around them
+            CompactionRunner(
+                spark,
+                src,
+                CompactionConfig(
+                    selection=SelectionStrategy.FULL,
+                    grouping=GroupingStrategy.SINGLE,
+                    sort_order=(("event_id", False),),
+                ),
+            ).execute()
+            src.append_dataframe(ev.filter("event_id % 2 = 1").select(cols))
         r2 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
         if r2["mode"] != "incremental":
             raise AssertionError(

@@ -23,6 +23,18 @@ _rows = st.lists(
 
 
 def _model(left, right, direction):
+    if direction == "nearest":
+        b = _model(left, right, "backward")
+        f = _model(left, right, "forward")
+        out = {}
+        for key in b:
+            _k, ts, _v = key
+            bb, ff = b[key], f[key]
+            if ff is None or (bb is not None and (ts - bb[0]) <= (ff[0] - ts)):
+                out[key] = bb  # ties to backward (pandas merge_asof)
+            else:
+                out[key] = ff
+        return out
     out = {}
     for k, ts, v in left:
         best = None
@@ -40,7 +52,7 @@ def _model(left, right, direction):
 
 
 @settings(max_examples=10, deadline=None)
-@given(_rows, _rows, st.sampled_from(["backward", "forward"]))
+@given(_rows, _rows, st.sampled_from(["backward", "forward", "nearest"]))
 def test_asof_join_matches_python_model(spark, left, right, direction):
     # unique (key, ts) on the right — the documented determinism rule
     right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
@@ -76,14 +88,37 @@ def test_asof_join_equal_ts_matches(spark):
 
 def test_asof_join_plan_is_single_window_no_join(spark):
     """The plan must be union → one Exchange on the key → window —
-    never a join (the naive pairwise form explodes on hot keys)."""
+    never a join (the naive pairwise form explodes on hot keys).
+    ``nearest`` runs BOTH directional fills over the same hash
+    partitioning: still exactly one Exchange, still no Join."""
     ldf = spark.range(100).selectExpr("id % 5 AS key", "id AS ts", "id AS lval")
     rdf = spark.range(50).selectExpr("id % 5 AS key", "id * 2 AS ts", "id AS rval")
-    df = asof_join(ldf, rdf, by="key")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert "Window" in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    for direction in ("backward", "nearest"):
+        df = asof_join(ldf, rdf, by="key", direction=direction)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, direction
+        assert "Window" in plan, direction
+        assert plan.count("Exchange hashpartitioning") == 1, direction
+
+
+def test_asof_join_nearest_tie_and_sides(spark):
+    """nearest: closer side wins, exact tie goes backward, one-sided
+    candidates fall through to the available side."""
+    ldf = spark.createDataFrame(
+        [(1, 10, "mid"), (1, 3, "low"), (1, 30, "high"), (2, 5, "lonely")],
+        "key long, ts long, tag string",
+    )
+    rdf = spark.createDataFrame(
+        [(1, 6, "a"), (1, 14, "b"), (1, 29, "c")], "key long, ts long, rtag string"
+    )
+    rows = {
+        r["tag"]: (r["ts_r"], r["rtag_r"])
+        for r in asof_join(ldf, rdf, by="key", direction="nearest").collect()
+    }
+    assert rows["mid"] == (6, "a")  # |10-6| == |14-10| -> tie -> backward
+    assert rows["low"] == (6, "a")  # only forward exists
+    assert rows["high"] == (29, "c")  # backward closer
+    assert rows["lonely"] == (None, None)  # no right history for key 2
 
 
 @settings(max_examples=10, deadline=None)
