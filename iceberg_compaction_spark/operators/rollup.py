@@ -84,6 +84,83 @@ def hll_estimates(df, cols: list[str]):
     return out
 
 
+def time_bucket(col, width_s: float):
+    """Floor a timestamp (or numeric) column to ``width_s``-second
+    buckets, returned as epoch seconds — the hypertable ``time_bucket``
+    scalar. Map-side arithmetic only."""
+    sec = F.col(col) if isinstance(col, str) else col
+    sec = sec.cast("timestamp").cast("double")
+    return (F.floor(sec / F.lit(float(width_s))) * F.lit(float(width_s))).cast(
+        "double"
+    )
+
+
+def gapfill_locf(
+    df,
+    group_cols: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+    start: float,
+    end: float,
+    step: float,
+):
+    """Gap-filled per-group time grid with last-observation-carried-
+    forward — the continuous-aggregate read-side companion
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``): every group gets
+    one row per bucket in ``[start, end]`` step ``step`` (epoch
+    seconds); buckets with no source row carry the latest earlier
+    value (NULL before the first observation). Emits ``<col>_filled``
+    beside each original value column plus a ``gap_filled`` flag.
+
+    Scale shape: the grid is |groups| × |buckets| rows built map-side
+    from ``F.sequence`` + ``explode`` (never a driver loop); the fill
+    is one running last-ignorenulls window per group — O(1) window
+    state, same single-shuffle discipline as the as-of join. Buckets
+    per group are bounded by (end-start)/step, which the CALLER fixes
+    independently of data volume; a hot group is the usual per-key
+    window seam (split the range and union for a pathological one)."""
+    if step <= 0 or end < start:
+        raise ValueError(f"bad gapfill range [{start}, {end}] step {step}")
+    from pyspark.sql import Window
+
+    lo = float(start) - (float(start) % float(step))
+    # sequence() is integral-only: generate step indices and compute
+    # the epoch bucket arithmetically (still map-side, no driver loop)
+    n_steps = int((float(end) - lo) // float(step))
+    grid = (
+        df.select(*group_cols)
+        .distinct()
+        .select(
+            *group_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(n_steps))).alias("_step_i"),
+        )
+        .select(
+            *group_cols,
+            (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
+            .cast("double")
+            .alias(bucket_col),
+        )
+    )
+    src = df.withColumn("_observed", F.lit(1))
+    joined = grid.join(src, [*group_cols, bucket_col], "left")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined.select(
+        *group_cols,
+        bucket_col,
+        *value_cols,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c + "_filled")
+            for c in value_cols
+        ],
+        (F.col("_observed").isNull()).alias("gap_filled"),
+    )
+    return out
+
+
 def _last_anchor(rollup: Table) -> int | None:
     """Crash-safe anchor recovery: max(property, snapshot summaries).
     The summary rides the atomic replace commit, so a crash between

@@ -3075,3 +3075,68 @@ SELECT event_type,
        MAX(value) AS max_value
 FROM events GROUP BY event_type
 """
+
+# events testdata spans 2024-01-01 .. 2024-01-30 (all SFs): a fixed
+# UTC grid keeps the gapfill query deterministic and SF-agnostic
+_GAPFILL_START = 1_704_067_200  # 2024-01-01T00:00:00Z
+_GAPFILL_END = 1_706_659_200  # 2024-01-31T00:00:00Z
+_GAPFILL_STEP = 21_600  # 6 h
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7: time_bucket gap-fill + LOCF (the hypertable
+    ``time_bucket_gapfill``/``locf`` read-side of a continuous
+    aggregate, `operators/rollup.py::gapfill_locf`): per-user 6-hour
+    event counts on a fixed 30-day grid — every (user, bucket) row
+    exists, empty buckets carry the latest earlier count and are
+    flagged. Grid = map-side sequence+explode; fill = ONE running
+    last-ignorenulls window per user. Self-gated: gaps must exist and
+    some gap must carry a non-null value (the LOCF path is exercised),
+    and observed rows must never be flagged."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.rollup import gapfill_locf, time_bucket
+
+    ev = _t(spark, sf_dir, "events").filter("user_id % 37 = 5")
+    src = ev.groupBy(
+        "user_id", time_bucket("ts", _GAPFILL_STEP).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = gapfill_locf(
+        src, ["user_id"], "bucket", ["cnt"],
+        start=_GAPFILL_START, end=_GAPFILL_END, step=_GAPFILL_STEP,
+    )
+    n_gap = out.filter("gap_filled").count()
+    n_carried = out.filter("gap_filled AND cnt_filled IS NOT NULL").count()
+    n_bad = out.filter("NOT gap_filled AND cnt IS NULL").count()
+    if not (n_gap > 0 and n_carried > 0 and n_bad == 0):
+        raise AssertionError(
+            f"degenerate gapfill fixture: gaps={n_gap} carried={n_carried} bad={n_bad}"
+        )
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "cnt",
+        "cnt_filled",
+        "gap_filled",
+    )
+
+
+GAPFILL_LOCF_SQL = f"""
+WITH src AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {_GAPFILL_STEP}) * {_GAPFILL_STEP} AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE user_id % 37 = 5 GROUP BY 1, 2),
+grid AS (
+  SELECT u.user_id, CAST(g.b AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT user_id FROM src) u,
+       generate_series({_GAPFILL_START}, {_GAPFILL_END}, {_GAPFILL_STEP}) AS g(b)),
+j AS (
+  SELECT g.user_id, g.bucket, s.cnt, s.cnt IS NULL AS gap_filled
+  FROM grid g LEFT JOIN src s ON s.user_id = g.user_id AND s.bucket = g.bucket)
+SELECT user_id, bucket, cnt,
+       last_value(cnt IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_filled,
+       gap_filled
+FROM j
+"""

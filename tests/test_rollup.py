@@ -222,6 +222,35 @@ def test_refresh_rollup_hll_distinct_state(spark, tmp_warehouse):
     assert abs(row["nd"] - 750) / 750 < 0.05  # distinct, sketched
 
 
+def test_gapfill_locf_matches_python_model(spark):
+    """time_bucket gapfill + LOCF vs a direct python model: every
+    group×bucket cell exists, empty cells carry the latest earlier
+    value (None before the first observation) and are flagged."""
+    from iceberg_compaction_spark.operators.rollup import gapfill_locf
+
+    src_rows = [  # (g, bucket, v) — gaps at 10 (g=1), 0/20 (g=2)
+        (1, 0.0, 5.0), (1, 20.0, 7.0), (2, 10.0, 1.0),
+    ]
+    df = spark.createDataFrame(src_rows, "g INT, bucket DOUBLE, v DOUBLE")
+    out = {
+        (r["g"], r["bucket"]): (r["v"], r["v_filled"], r["gap_filled"])
+        for r in gapfill_locf(df, ["g"], "bucket", ["v"], 0, 20, 10).collect()
+    }
+    assert out == {
+        (1, 0.0): (5.0, 5.0, False),
+        (1, 10.0): (None, 5.0, True),
+        (1, 20.0): (7.0, 7.0, False),
+        (2, 0.0): (None, None, True),  # before first observation
+        (2, 10.0): (1.0, 1.0, False),
+        (2, 20.0): (None, 1.0, True),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gapfill"):
+        gapfill_locf(df, ["g"], "bucket", ["v"], 0, 20, 0)
+
+
 def test_refresh_rollup_fuzz_interleavings(spark, tmp_warehouse):
     """Random interleavings of appends, refreshes AND compaction
     replace commits (the maintenance-coexistence contract): back-to-
