@@ -48,7 +48,7 @@ from pyspark.sql import SparkSession
 from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources.table import Table
 
-_SUPPORTED = ("count", "sum", "min", "max", "hll")
+_SUPPORTED = ("count", "sum", "min", "max", "hll", "hist")
 
 # operations whose commits rewrite live rows under new paths without
 # changing the live row SET (compaction, delete-file cleanup, manifest
@@ -60,17 +60,22 @@ _ANCHOR_PROP = "rollup.last-src-snapshot"
 _ANCHOR_SUMMARY = "rollup_src_snapshot"
 
 
-def rollup_ddl(group_ddl: str, aggs: dict[str, tuple[str, str]]) -> str:
+def rollup_ddl(group_ddl: str, aggs: dict[str, tuple]) -> str:
     """DDL for the rollup table: group columns + one state column per
-    aggregate. ``aggs``: out_col -> (fn, src_col); fn in count/sum/
-    min/max/hll (count's src_col is ignored). State types: count is
-    BIGINT, hll is BINARY (a mergeable HyperLogLog sketch — read the
-    estimate with ``hll_estimates``), the rest DOUBLE — pass the
+    aggregate. ``aggs``: out_col -> (fn, src_col) — or (fn, src_col,
+    params) for parameterized fns; fn in count/sum/min/max/hll/hist
+    (count's src_col is ignored). State types: count is BIGINT, hll is
+    BINARY (a mergeable HyperLogLog sketch — read the estimate with
+    ``hll_estimates``), hist is ARRAY<BIGINT> (fixed-bin counts —
+    read quantiles with ``hist_quantile``), the rest DOUBLE — pass the
     source DDL types through ``group_ddl``-style strings yourself if
     they differ from DOUBLE."""
     cols = [group_ddl]
-    for out, (fn, _src) in aggs.items():
-        t = {"count": "BIGINT", "hll": "BINARY"}.get(fn, "DOUBLE")
+    for out, spec in aggs.items():
+        fn = spec[0]
+        t = {"count": "BIGINT", "hll": "BINARY", "hist": "ARRAY<BIGINT>"}.get(
+            fn, "DOUBLE"
+        )
         cols.append(f"{out} {t}")
     return ", ".join(cols)
 
@@ -82,6 +87,55 @@ def hll_estimates(df, cols: list[str]):
     for c in cols:
         out = out.withColumn(c, F.hll_sketch_estimate(c))
     return out
+
+
+def hist_quantile(
+    df,
+    group_cols: list[str],
+    hist_col: str,
+    q: float,
+    lo: float,
+    width: float,
+):
+    """Read side of a ``hist`` rollup state: estimate the q-quantile
+    per group from the fixed-bin counts (linear interpolation inside
+    the straddling bin — error bounded by one bin width). Plan:
+    posexplode the |bins|-long array → one per-group running-sum
+    window over |groups|×|bins| rows — rollup-sized, never
+    data-sized."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    from pyspark.sql import Window
+
+    e = df.select(
+        *group_cols, F.posexplode(hist_col).alias("_bin", "_cnt")
+    )
+    wrun = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = (
+        e.withColumn("_cum", F.sum("_cnt").over(wrun))
+        .withColumn("_tot", F.sum("_cnt").over(wall))
+        .withColumn("_target", F.lit(float(q)) * F.col("_tot"))
+    )
+    first = (
+        cum.filter((F.col("_cum") >= F.col("_target")) & (F.col("_cnt") > 0))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*group_cols).orderBy("_bin")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    frac = (F.col("_target") - (F.col("_cum") - F.col("_cnt"))) / F.col("_cnt")
+    est = F.lit(float(lo)) + (
+        F.col("_bin") + F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
+    ) * F.lit(float(width))
+    return first.select(*group_cols, est.alias(f"q{int(q * 100)}"))
 
 
 def time_bucket(col, width_s: float):
@@ -127,6 +181,14 @@ def gapfill_locf(
     # sequence() is integral-only: generate step indices and compute
     # the epoch bucket arithmetically (still map-side, no driver loop)
     n_steps = int((float(end) - lo) // float(step))
+    if n_steps > 1_000_000:
+        # the grid is |groups| × (n_steps+1) rows: a mistyped step
+        # would silently explode it — same refuse-don't-explode rule
+        # as the range join's max_bins_per_interval guard
+        raise ValueError(
+            f"gapfill grid would have {n_steps + 1} buckets per group "
+            "(> 1e6); widen step or narrow the range"
+        )
     grid = (
         df.select(*group_cols)
         .distinct()
@@ -208,9 +270,13 @@ def refresh_rollup(
     from_snapshot, to_snapshot, mode} with mode in
     ``noop | incremental | recompute``; a no-op refresh commits
     nothing."""
-    for out, (fn, _c) in aggs.items():
-        if fn not in _SUPPORTED:
-            raise ValueError(f"{out}: {fn} is not decomposable-supported {_SUPPORTED}")
+    for out, spec in aggs.items():
+        if spec[0] not in _SUPPORTED:
+            raise ValueError(
+                f"{out}: {spec[0]} is not decomposable-supported {_SUPPORTED}"
+            )
+        if spec[0] == "hist" and len(spec) < 3:
+            raise ValueError(f"{out}: hist needs (fn, col, (lo, width, nbins))")
     last = _last_anchor(rollup)
     cur = src.current_snapshot_id
     if cur is None or cur == last:
@@ -218,7 +284,7 @@ def refresh_rollup(
             "delta_rows": 0, "from_snapshot": last, "to_snapshot": cur,
             "mode": "noop",
         }
-    cols = list({c for (_fn, c) in aggs.values() if c} | set(group_by))
+    cols = list({spec[1] for spec in aggs.values() if spec[1]} | set(group_by))
 
     # classify the window by ancestry: appends feed the delta;
     # row-set-preserving rewrites are skipped (outputs re-add counted
@@ -269,8 +335,44 @@ def refresh_rollup(
 
     def _exprs(src_is_state: bool):
         out = []
-        for name, (fn, c) in aggs.items():
-            if fn == "count":
+        for name, spec in aggs.items():
+            fn, c = spec[0], spec[1]
+            if fn == "hist":
+                # fixed-bin counts: the simplest MERGEABLE quantile
+                # state (unlike percentile_approx, whose sketch Spark
+                # does not expose for re-aggregation). Out-of-range
+                # values clamp into the edge bins; NULLs don't count.
+                lo, width, nbins = spec[2]
+                if src_is_state:
+                    out.append(
+                        F.array(
+                            *[
+                                F.sum(F.element_at(F.col(name), i + 1))
+                                for i in range(nbins)
+                            ]
+                        ).alias(name)
+                    )
+                else:
+                    idx = F.least(
+                        F.lit(nbins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col(c) - F.lit(float(lo))) / F.lit(float(width))
+                            ).cast("int"),
+                        ),
+                    )
+                    out.append(
+                        F.array(
+                            *[
+                                F.sum(
+                                    F.when(idx == i, F.lit(1)).otherwise(F.lit(0))
+                                ).cast("long")
+                                for i in range(nbins)
+                            ]
+                        ).alias(name)
+                    )
+            elif fn == "count":
                 out.append(
                     (F.sum(name) if src_is_state else F.count(F.lit(1))).alias(name)
                 )

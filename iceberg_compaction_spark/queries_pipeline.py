@@ -3076,6 +3076,77 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+def q_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7: mergeable HISTOGRAM rollup state
+    (`operators/rollup.py` fn="hist"): per-event-type fixed-bin value
+    counts accumulated across two incremental refreshes — fixed-bin
+    counts are the simplest sum-mergeable quantile state (Spark's
+    percentile_approx sketch is not re-aggregatable). Out-of-range
+    values clamp into the edge bins. Returns the exploded
+    (event_type, bin, bin_cnt) state; the oracle recomputes the same
+    bins in one pass, so the incremental merge is proven EXACT.
+    Self-gated: the second refresh must be incremental and the
+    read-side median estimate must be finite."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.rollup import hist_quantile, refresh_rollup
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_rollh_")
+    try:
+        ev_ddl = (
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        aggs = {
+            "cnt": ("count", ""),
+            "h": ("hist", "value", (0.0, 25.0, 16)),
+        }
+        ev = _t(spark, sf_dir, "events")
+        with benchphase.phase("build"):
+            src = Table.create(os.path.join(tdir, "src"), ev_ddl)
+            roll = Table.create(
+                os.path.join(tdir, "roll"),
+                "event_type STRING, cnt BIGINT, h ARRAY<BIGINT>",
+            )
+            src.append_dataframe(ev.filter("event_id % 2 = 0").select(cols))
+        refresh_rollup(spark, src, roll, ["event_type"], aggs)
+        with benchphase.phase("build"):
+            src.append_dataframe(ev.filter("event_id % 2 = 1").select(cols))
+        r2 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
+        if r2["mode"] != "incremental" or r2["delta_rows"] == 0:
+            raise AssertionError(f"second refresh not incremental: {r2}")
+        med = hist_quantile(roll.scan(spark), ["event_type"], "h", 0.5, 0.0, 25.0)
+        if med.filter(F.col("q50").isNull()).count() != 0:
+            raise AssertionError("median estimate missing for some event_type")
+        out = roll.scan(spark).select(
+            "event_type", F.posexplode("h").alias("bin", "bin_cnt")
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(os.path.join(tdir, "src"), ignore_errors=True)
+        shutil.rmtree(os.path.join(tdir, "roll"), ignore_errors=True)
+
+
+ROLLUP_HIST_SQL = """
+WITH binned AS (
+  SELECT event_type,
+         least(15, greatest(0, CAST(floor(value / 25.0) AS INTEGER))) AS b
+  FROM events WHERE value IS NOT NULL),
+bins AS (SELECT DISTINCT event_type, g.b
+         FROM (SELECT DISTINCT event_type FROM binned),
+              generate_series(0, 15) AS g(b))
+SELECT bins.event_type,
+       CAST(bins.b AS INTEGER) AS bin,
+       CAST(count(binned.b) AS BIGINT) AS bin_cnt
+FROM bins LEFT JOIN binned
+  ON binned.event_type = bins.event_type AND binned.b = bins.b
+GROUP BY 1, 2
+"""
+
+
 # events testdata spans 2024-01-01 .. 2024-01-30 (all SFs): a fixed
 # UTC grid keeps the gapfill query deterministic and SF-agnostic
 _GAPFILL_START = 1_704_067_200  # 2024-01-01T00:00:00Z

@@ -222,6 +222,40 @@ def test_refresh_rollup_hll_distinct_state(spark, tmp_warehouse):
     assert abs(row["nd"] - 750) / 750 < 0.05  # distinct, sketched
 
 
+def test_refresh_rollup_hist_state(spark, tmp_warehouse):
+    """hist state: fixed-bin counts are sum-mergeable across
+    incremental refreshes (exactly a full recompute's bins, including
+    edge-bin clamping of out-of-range values), and the read-side
+    quantile estimate lands within one bin width of the exact
+    percentile."""
+    from iceberg_compaction_spark.operators.rollup import hist_quantile
+
+    src = Table.create(os.path.join(tmp_warehouse, "hsrc"), SRC_DDL)
+    roll = Table.create(
+        os.path.join(tmp_warehouse, "hroll"), "k BIGINT, cnt BIGINT, h ARRAY<BIGINT>"
+    )
+    aggs = {"cnt": ("count", ""), "h": ("hist", "v", (0.0, 10.0, 10))}
+    b1 = [(0, float(v)) for v in range(50)] + [(0, -5.0), (0, 250.0)]  # clamps
+    b2 = [(0, float(v)) for v in range(25, 100)]
+    src.append_dataframe(spark.createDataFrame(b1, SRC_DDL).coalesce(1))
+    refresh_rollup(spark, src, roll, ["k"], aggs)
+    src.append_dataframe(spark.createDataFrame(b2, SRC_DDL).coalesce(1))
+    refresh_rollup(spark, src, roll, ["k"], aggs)
+
+    import collections
+    exact = collections.Counter(
+        min(9, max(0, int(v // 10))) for _k, v in b1 + b2
+    )
+    row = roll.scan(spark).collect()[0]
+    assert row["cnt"] == len(b1) + len(b2)
+    assert list(row["h"]) == [exact.get(i, 0) for i in range(10)]
+
+    vals = sorted(v for _k, v in b1 + b2)
+    true_median = vals[len(vals) // 2]
+    est = hist_quantile(roll.scan(spark), ["k"], "h", 0.5, 0.0, 10.0).collect()[0]
+    assert abs(est["q50"] - true_median) <= 10.0  # within one bin width
+
+
 def test_gapfill_locf_matches_python_model(spark):
     """time_bucket gapfill + LOCF vs a direct python model: every
     group×bucket cell exists, empty cells carry the latest earlier
