@@ -226,9 +226,50 @@ def asof_join_salted(
          required side in their own bucket) fill from the carry.
     Result is row-identical to ``asof_join`` in the same direction
     (pinned by a hypothesis equivalence test); right rows must be
-    unique per (by, ts) as there."""
+    unique per (by, ts) as there.
+
+    ``nearest`` composes the two directional salted passes (the
+    second treats the first's appended candidate columns as ordinary
+    left payload) and keeps the closer side per row — 2× the salted
+    cost, still never a per-key window over the full hot history."""
+    if direction == "nearest":
+        b = asof_join_salted(
+            left, right, by, ts_col, bucket_width, "backward", suffix="__b"
+        )
+        bf = asof_join_salted(
+            b, right, by, ts_col, bucket_width, "forward", suffix="__f"
+        )
+        by_l = [by] if isinstance(by, str) else list(by)
+        pcols = [c for c in right.columns if c not in by_l]
+
+        def _sec(col):
+            return (
+                col.cast("timestamp").cast("double")
+                if str(left.schema[ts_col].dataType).lower().startswith("timestamp")
+                else col.cast("double")
+            )
+
+        lts, bts, fts = (
+            _sec(F.col(ts_col)),
+            _sec(F.col(ts_col + "__b")),
+            _sec(F.col(ts_col + "__f")),
+        )
+        use_b = F.col(ts_col + "__f").isNull() | (
+            F.col(ts_col + "__b").isNotNull() & ((lts - bts) <= (fts - lts))
+        )
+        return bf.select(
+            *left.columns,
+            *[
+                F.when(use_b, F.col(c + "__b"))
+                .otherwise(F.col(c + "__f"))
+                .alias(c + suffix)
+                for c in pcols
+            ],
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = [by] if isinstance(by, str) else list(by)
     payload_cols = [c for c in right.columns if c not in by]
 

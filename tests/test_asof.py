@@ -121,19 +121,20 @@ def test_asof_join_nearest_tie_and_sides(spark):
     assert rows["lonely"] == (None, None)  # no right history for key 2
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=12, deadline=None)
 @given(
     _rows,
     _rows,
     st.sampled_from([1.0, 4.0, 100.0]),
-    st.sampled_from(["backward", "forward"]),
+    st.sampled_from(["backward", "forward", "nearest"]),
 )
 def test_asof_join_salted_equivalent(spark, left, right, w, direction):
     """The hot-key form (bucketed windows + cross-bucket carry) must be
     row-identical to the plain as-of join for every bucket width and
-    BOTH directions — including widths that force the carry path (w=1:
-    most matches come from a neighbouring bucket) and one that
-    degenerates to a single bucket (w=100)."""
+    ALL THREE directions — including widths that force the carry path
+    (w=1: most matches come from a neighbouring bucket, and nearest
+    must let a next-bucket candidate beat a same-bucket one) and one
+    that degenerates to a single bucket (w=100)."""
     from iceberg_compaction_spark.operators.asof import asof_join_salted
 
     right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
