@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 89 queries, 87 of them
+training-data pipeline operators — 90 queries, 88 of them
 DuckDB-oracle-checked. The two keys without an oracle are
 non-SQL-expressible by design (approximate LSH ANN — self-gating on
 in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
@@ -12,10 +12,10 @@ driver's rows-only check; their correctness is pinned by tests/.
 
 Ordering note: the driver records a bounded (50-row) prefix of this
 dict, so the LEAST-driver-proven queries come FIRST. Round-7 order:
-the 5 round-7 additions lead (never driver-checked: the forward
+the 6 round-7 additions lead (never driver-checked: the forward
 salted as-of join, the maintenance-coexisting rollup refresh, the
-nearest-direction as-of join, the gapfill+LOCF grid, and the
-mergeable-histogram rollup state),
+nearest-direction as-of join, the gapfill+LOCF grid, the
+mergeable-histogram rollup state, and CDC replication),
 then the 34 keys past round 6's window (last driver-proven in
 CORRECTNESS_r05 — two rounds stale without this rotation), then the
 round-6 additions (proven r6); the flagship and engine core —
@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": QP.q_asof_join_nearest,
         "gapfill_locf": QP.q_gapfill_locf,
         "rollup_hist": QP.q_rollup_hist,
+        "cdc_replicate": QP.q_cdc_replicate,
         # --- round 7 rotation: the 34 keys past round 6's 50-row
         # --- driver window come NEXT so every query's driver proof is
         # --- at most two rounds old (these were last proven in r5) ---
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_nearest": QP.ASOF_JOIN_NEAREST_SQL,
         "gapfill_locf": QP.GAPFILL_LOCF_SQL,
         "rollup_hist": QP.ROLLUP_HIST_SQL,
+        "cdc_replicate": QP.CDC_REPLICATE_SQL,
         "filtered_rewrite_scan": QP.FILTERED_REWRITE_SCAN_SQL,
         "incremental_dedup": QP.INCREMENTAL_DEDUP_SQL,
         "asof_join": QP.ASOF_JOIN_SQL,

@@ -745,6 +745,7 @@ def incremental_minhash_dedup_indexed(
     rows_per_band: int = 2,
     hash_fn: str = "md5",
     intra: bool = True,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """``incremental_minhash_dedup`` against a PERSISTED index
     ``Table`` — the round-7 composition of the incremental probe with
@@ -768,7 +769,16 @@ def incremental_minhash_dedup_indexed(
     Returns ``(survivors, new_index_rows)``; the caller appends
     ``new_index_rows`` to ``index_table`` to absorb the increment —
     ``write_data_files`` re-derives the bucket per row, keeping index
-    files partition-pure."""
+    files partition-pure.
+
+    ``materialize`` (default) eagerly ``localCheckpoint``s both
+    outputs inside the signature-cache scope, so the increment is read
+    once and the caller can act on the results after this returns.
+    The checkpointed blocks live on executors — on a real cluster an
+    executor loss after heavy decommissioning makes them
+    unrecoverable, so a long-pipeline caller that prefers pure lineage
+    (recomputable, reads the increment once more per action) passes
+    ``materialize=False``."""
     from pyspark.sql import functions as F  # noqa: F811 (module-level alias)
 
     sigs = minhash_signatures(
@@ -796,12 +806,16 @@ def incremental_minhash_dedup_indexed(
             new_df, index_df, id_col, text_col, n, bands, rows_per_band,
             hash_fn, intra, sigs=sigs,
         )
-        # materialize inside the persist scope: both outputs derive
-        # from sigs, and the caller's actions run after unpersist
-        survivors = survivors.localCheckpoint(eager=True)
-        new_index = new_index.localCheckpoint(eager=True)
+        if materialize:
+            # materialize inside the persist scope: both outputs derive
+            # from sigs, and the caller's actions run after unpersist
+            survivors = survivors.localCheckpoint(eager=True)
+            new_index = new_index.localCheckpoint(eager=True)
     finally:
-        sigs.unpersist()
+        if materialize:
+            sigs.unpersist()
+        # materialize=False: leave sigs cached for the caller's own
+        # actions; Spark evicts LRU, so an abandoned cache is benign
     return survivors, new_index
 
 

@@ -275,8 +275,14 @@ def refresh_rollup(
             raise ValueError(
                 f"{out}: {spec[0]} is not decomposable-supported {_SUPPORTED}"
             )
-        if spec[0] == "hist" and len(spec) < 3:
-            raise ValueError(f"{out}: hist needs (fn, col, (lo, width, nbins))")
+        if spec[0] == "hist":
+            if len(spec) < 3:
+                raise ValueError(f"{out}: hist needs (fn, col, (lo, width, nbins))")
+            if not 0 < spec[2][2] <= 1024:
+                # each bin is one aggregate expression in the plan: a
+                # mistyped nbins would explode codegen, and >1024 bins
+                # is no longer a cheap mergeable state anyway
+                raise ValueError(f"{out}: hist nbins must be in (0, 1024]")
     last = _last_anchor(rollup)
     cur = src.current_snapshot_id
     if cur is None or cur == last:

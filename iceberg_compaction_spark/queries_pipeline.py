@@ -3076,6 +3076,98 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7: CDC apply / incremental replication
+    (`operators/replicate.py::apply_changelog`): a source table of
+    events is replicated into a target — initial full load, then a
+    DELETE WHERE + a MERGE upsert + a COMPACTION land on the source
+    and ONE incremental apply folds the net row changes (latest per
+    key; the rewrite is invisible to the changelog) into the target
+    atomically. Self-gated: the second apply must be incremental with
+    0 < upserts < total and deletes > 0, a replay must no-op, and the
+    returned relation is the TARGET's scan — which the oracle predicts
+    from the source operations alone."""
+    _utc(spark)
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.operators.replicate import apply_changelog
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_cdc_")
+    try:
+        ev_ddl = (
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ev = _t(spark, sf_dir, "events")
+        n_total = ev.count()
+        with benchphase.phase("build"):
+            src = Table.create(os.path.join(tdir, "src"), ev_ddl)
+            tgt = Table.create(os.path.join(tdir, "tgt"), ev_ddl)
+            src.append_dataframe(ev.select(cols))
+        r1 = apply_changelog(spark, src, tgt, ["event_id"])
+        if r1["upserts"] != n_total:
+            raise AssertionError(f"initial load applied {r1['upserts']}/{n_total}")
+        with benchphase.phase("build"):  # the source-side churn is the
+            # scenario fixture; the measured op is the CDC apply
+            delete_where(spark, src, "value < 10.0")
+            merge_into(
+                src,
+                ev.filter("event_id % 100 = 0")
+                .withColumn("props", F.lit("updated"))
+                .select(cols),
+                ["event_id"],
+            )
+            CompactionRunner(
+                spark,
+                src,
+                CompactionConfig(
+                    selection=SelectionStrategy.FULL,
+                    grouping=GroupingStrategy.SINGLE,
+                    sort_order=(("event_id", False),),
+                ),
+            ).execute()
+        r2 = apply_changelog(spark, src, tgt, ["event_id"])
+        if r2["mode"] != "incremental" or not (0 < r2["upserts"] < n_total):
+            raise AssertionError(f"apply was not incremental: {r2}")
+        if r2["deletes"] == 0:
+            raise AssertionError("no net deletes reached the target")
+        if apply_changelog(spark, src, tgt, ["event_id"])["mode"] != "noop":
+            raise AssertionError("replayed apply was not a no-op")
+        out = tgt.scan(spark).select(
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            "user_id",
+            "event_type",
+            F.round("value", 3).alias("value"),
+            "props",
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(os.path.join(tdir, "src"), ignore_errors=True)
+        shutil.rmtree(os.path.join(tdir, "tgt"), ignore_errors=True)
+
+
+CDC_REPLICATE_SQL = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       user_id, event_type,
+       ROUND(value, 3) AS value,
+       CASE WHEN event_id % 100 = 0 THEN 'updated' ELSE props END AS props
+FROM events
+WHERE value >= 10.0 OR event_id % 100 = 0
+"""
+
+
 def q_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 7: mergeable HISTOGRAM rollup state
     (`operators/rollup.py` fn="hist"): per-event-type fixed-bin value

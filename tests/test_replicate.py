@@ -1,0 +1,156 @@
+"""CDC apply: incremental replication of a source table into a target
+via the changelog — net-per-key application, crash-safe anchor,
+maintenance invariance, and resync fallback after a source rollback."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators.replicate import apply_changelog
+from iceberg_compaction_spark.sources.table import Table
+
+DDL = "k BIGINT, v DOUBLE, tag STRING"
+COLS = ["k", "v", "tag"]
+
+
+def _rows(t, spark):
+    return sorted(
+        (r["k"], r["v"], r["tag"]) for r in t.scan(spark).collect()
+    )
+
+
+def _mk(spark, tmp_warehouse, name):
+    src = Table.create(os.path.join(tmp_warehouse, f"{name}_src"), DDL)
+    tgt = Table.create(os.path.join(tmp_warehouse, f"{name}_tgt"), DDL)
+    return src, tgt
+
+
+def test_apply_changelog_tracks_source(spark, tmp_warehouse):
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    src, tgt = _mk(spark, tmp_warehouse, "t1")
+    base = [(i, float(i), "a") for i in range(40)]
+    src.append_dataframe(spark.createDataFrame(base, DDL).coalesce(1))
+    r1 = apply_changelog(spark, src, tgt, ["k"])
+    assert r1["mode"] == "incremental" and r1["upserts"] == 40 and r1["deletes"] == 0
+    assert _rows(tgt, spark) == _rows(src, spark)
+
+    # delete + upsert + COMPACTION on the source, then one apply
+    delete_where(spark, src, "v >= 30.0")
+    upd = spark.createDataFrame(
+        [(i, float(i) * 10, "b") for i in range(0, 40, 7)], DDL
+    )
+    merge_into(src, upd, ["k"])
+    CompactionRunner(
+        spark,
+        src,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.SINGLE,
+            sort_order=(("k", False),),
+        ),
+    ).execute()
+    r2 = apply_changelog(spark, src, tgt, ["k"])
+    assert r2["mode"] == "incremental"
+    assert 0 < r2["upserts"] < 40  # only the merge's rows, not history
+    assert r2["deletes"] > 0
+    assert _rows(tgt, spark) == _rows(src, spark)
+
+    # replay: anchor advanced, nothing to do
+    r3 = apply_changelog(spark, src, tgt, ["k"])
+    assert r3["mode"] == "noop"
+    assert _rows(tgt, spark) == _rows(src, spark)
+
+
+def test_apply_changelog_anchor_survives_property_crash(spark, tmp_warehouse):
+    src, tgt = _mk(spark, tmp_warehouse, "t2")
+    src.append_dataframe(
+        spark.createDataFrame([(i, 1.0, "x") for i in range(10)], DDL).coalesce(1)
+    )
+    orig = tgt.set_property
+    tgt.set_property = lambda *a: (_ for _ in ()).throw(OSError("crash"))
+    try:
+        apply_changelog(spark, src, tgt, ["k"])
+    finally:
+        tgt.set_property = orig
+    assert tgt.get_property("replicate.last-src-snapshot") is None
+    r = apply_changelog(spark, src, tgt, ["k"])  # replay
+    assert r["mode"] == "noop"
+    assert len(_rows(tgt, spark)) == 10
+
+
+def test_apply_changelog_follows_source_rollback_incrementally(
+    spark, tmp_warehouse
+):
+    """A source ROLLBACK is itself a commit that removes files, so the
+    changelog nets it as deletes — the apply stays incremental and the
+    target follows the rollback without a resync."""
+    src, tgt = _mk(spark, tmp_warehouse, "t3")
+    src.append_dataframe(
+        spark.createDataFrame([(i, 1.0, "x") for i in range(10)], DDL).coalesce(1)
+    )
+    keep = src.current_snapshot_id
+    apply_changelog(spark, src, tgt, ["k"])
+    src.append_dataframe(
+        spark.createDataFrame([(100, 2.0, "y")], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"])
+    src.rollback_to(keep)
+    src.append_dataframe(
+        spark.createDataFrame([(200, 3.0, "z")], DDL).coalesce(1)
+    )
+    r = apply_changelog(spark, src, tgt, ["k"])
+    assert r["mode"] == "incremental"
+    assert _rows(tgt, spark) == _rows(src, spark)
+    assert (200, 3.0, "z") in _rows(tgt, spark)
+    assert (100, 2.0, "y") not in _rows(tgt, spark)
+
+
+def test_apply_changelog_resyncs_after_window_expiry(spark, tmp_warehouse):
+    """When snapshot expiry swallowed part of the window, no exact
+    delta exists — the apply falls back to one full resync and the
+    target equals the source's current rows."""
+    from iceberg_compaction_spark.operators.maintenance import expire_snapshots
+
+    src, tgt = _mk(spark, tmp_warehouse, "t3b")
+    src.append_dataframe(
+        spark.createDataFrame([(i, 1.0, "x") for i in range(10)], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"])
+    for j in range(3):
+        src.append_dataframe(
+            spark.createDataFrame([(100 + j, 2.0, "y")], DDL).coalesce(1)
+        )
+    expire_snapshots(src, older_than_ms=2**62, retain_last=1)
+    r = apply_changelog(spark, src, tgt, ["k"])
+    assert r["mode"] == "resync"
+    assert _rows(tgt, spark) == _rows(src, spark)
+    assert len(_rows(tgt, spark)) == 13
+
+
+def test_apply_changelog_upsert_pair_nets_to_insert(spark, tmp_warehouse):
+    """A MERGE emits delete(old)+insert(new) in ONE snapshot: the net
+    must keep the insert, and keys deleted in a LATER snapshot than
+    their upsert must end deleted."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    src, tgt = _mk(spark, tmp_warehouse, "t4")
+    src.append_dataframe(
+        spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "a")], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"])
+    merge_into(src, spark.createDataFrame([(1, 10.0, "b")], DDL), ["k"])
+    delete_where(spark, src, "k = 2")
+    r = apply_changelog(spark, src, tgt, ["k"])
+    assert r["upserts"] == 1 and r["deletes"] == 1
+    assert _rows(tgt, spark) == [(1, 10.0, "b")]
