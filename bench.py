@@ -66,6 +66,8 @@ HEADLINE = [
     "range_join",  # round 6: binned interval equi-join
     "incremental_dedup",  # round 6: index-probe dedup of an increment
     "rollup_refresh",  # round 7: incremental materialized rollup
+    "gapfill_locf",  # round 7: time grid + LOCF window
+    "rollup_hist",  # round 7: mergeable histogram state
 ]
 
 #: ops whose per-rep numbers land in BENCH_HISTORY.jsonl (kind=ops) so
@@ -79,6 +81,8 @@ HISTORY_OPS = [
     "zorder_key",
     "pricing_summary",
     "exact_dedup",
+    "gapfill_locf",
+    "rollup_hist",
 ]
 
 
