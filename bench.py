@@ -349,7 +349,9 @@ def _write_bench_md(queries: dict, details: dict, lo: dict, hi: dict, efficiency
     ] + [
         "",
         f"Best observed efficiency: **{max(h['efficiency'] for h in history):.2f}**"
-        f" (of {len(history)} runs).",
+        f" (of {len(history)} runs). Cross-run floor pair (best t_lo over"
+        f" best t_hi — both levels at demonstrated capability): "
+        f"**{(min(h['t_lo'] for h in history) / min(h['t_hi'] for h in history)) / (SCALE_HI / SCALE_LO):.2f}**.",
         "",
         "Packaged run: `scripts/spark_submit_bench.sh CORES` ships the",
         "engine as a `--py-files` zip through spark-submit.",
@@ -504,6 +506,23 @@ def main() -> None:
         )
         history = [h for h in history if "efficiency" in h]  # scaling rows only
         scaling["efficiency_best_observed"] = max(h["efficiency"] for h in history)
+        # cross-run FLOOR PAIR: single-run efficiency pairs whatever
+        # t_lo/t_hi the shared host allowed that run (±30% swings both
+        # ways); dividing the best-observed t_lo by the best-observed
+        # t_hi pins BOTH levels at their demonstrated capability — the
+        # honest cross-run scaling estimate
+        same_pair = [
+            h for h in history
+            if h["cores_lo"] == SCALE_LO and h["cores_hi"] == SCALE_HI
+        ]
+        if same_pair:
+            lo_floor = min(h["t_lo"] for h in same_pair)
+            hi_floor = min(h["t_hi"] for h in same_pair)
+            scaling["t_lo_floor"] = lo_floor
+            scaling["t_hi_floor"] = hi_floor
+            scaling["efficiency_floor_pair"] = round(
+                (lo_floor / hi_floor) / (SCALE_HI / SCALE_LO), 3
+            )
         _write_bench_md(timings, details, lo, hi, efficiency, thr, history)
 
     result = {

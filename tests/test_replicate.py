@@ -137,6 +137,44 @@ def test_apply_changelog_resyncs_after_window_expiry(spark, tmp_warehouse):
     assert len(_rows(tgt, spark)) == 13
 
 
+def test_apply_changelog_composes_with_target_compaction(spark, tmp_warehouse):
+    """The tombstones the applies accumulate are ordinary eq-delete
+    files: compacting the TARGET between applies folds them away, and
+    later applies keep working on the rewritten layout (the anchor
+    lives in properties/summaries, not in file identity)."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    src, tgt = _mk(spark, tmp_warehouse, "t5")
+    src.append_dataframe(
+        spark.createDataFrame([(i, float(i), "a") for i in range(30)], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"])
+    merge_into(src, spark.createDataFrame([(5, 55.0, "b")], DDL), ["k"])
+    apply_changelog(spark, src, tgt, ["k"])
+    assert len(tgt.files(content="eq_del")) > 0  # tombstones accumulated
+    CompactionRunner(
+        spark,
+        tgt,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.SINGLE,
+            sort_order=(("k", False),),
+        ),
+    ).execute()
+    assert tgt.files(content="eq_del") == []  # folded by compaction
+    assert _rows(tgt, spark) == _rows(src, spark)
+    merge_into(src, spark.createDataFrame([(6, 66.0, "c")], DDL), ["k"])
+    r = apply_changelog(spark, src, tgt, ["k"])
+    assert r["mode"] == "incremental" and r["upserts"] == 1
+    assert _rows(tgt, spark) == _rows(src, spark)
+
+
 def test_apply_changelog_upsert_pair_nets_to_insert(spark, tmp_warehouse):
     """A MERGE emits delete(old)+insert(new) in ONE snapshot: the net
     must keep the insert, and keys deleted in a LATER snapshot than
