@@ -44,6 +44,7 @@ def asof_join(
     ts_col: str = "ts",
     direction: str = "backward",
     suffix: str = "_r",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row: the latest right row with ``right.ts <=
     left.ts`` (``backward``), the earliest with ``right.ts >= left.ts``
@@ -53,12 +54,20 @@ def asof_join(
     with ``suffix`` (its ``ts_col`` becomes e.g. ``ts_r``), NULL when
     no right row qualifies — i.e. an AS OF LEFT JOIN.
 
+    ``allow_exact_matches=False`` makes the comparison STRICT (< / >,
+    pandas ``merge_asof`` parity): an equal-ts right row no longer
+    matches. Implementation-wise that is only the union-tag tie order
+    — left rows sort BEFORE equal-ts right rows, so the running fill
+    has not seen them yet — the plan is unchanged.
+
     ``nearest`` stays ONE shuffle: both directional fills run as two
     windows over the same hash partitioning (Catalyst plans one
     Exchange + two Sorts), then a row-local CASE picks the closer
     candidate."""
     if direction == "nearest":
-        return _asof_join_nearest(left, right, by, ts_col, suffix)
+        return _asof_join_nearest(
+            left, right, by, ts_col, suffix, allow_exact_matches
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
@@ -90,11 +99,14 @@ def asof_join(
 
     # backward: scan time ascending, right-before-left on ties so an
     # equal-ts right row is visible to the left row (DuckDB >=).
-    # forward: scan time descending, same tie order.
+    # forward: scan time descending, same tie order. Strict mode
+    # (allow_exact_matches=False) flips the tie order — left first, so
+    # the running fill has not seen the equal-ts right row yet.
+    tag_order = F.asc("_asof_tag") if allow_exact_matches else F.desc("_asof_tag")
     order = (
-        [F.asc_nulls_first("_asof_ts"), F.asc("_asof_tag")]
+        [F.asc_nulls_first("_asof_ts"), tag_order]
         if direction == "backward"
-        else [F.desc_nulls_first("_asof_ts"), F.asc("_asof_tag")]
+        else [F.desc_nulls_first("_asof_ts"), tag_order]
     )
     w = (
         Window.partitionBy(*by)
@@ -118,6 +130,7 @@ def _asof_join_nearest(
     by: Sequence[str] | str,
     ts_col: str,
     suffix: str,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """``direction="nearest"``: the union-tag frame computes BOTH
     directional running fills as two windows over one hash
@@ -152,14 +165,15 @@ def _asof_join_nearest(
     )
     both = tagged_left.unionByName(tagged_right)
 
+    tag_order = F.asc("_asof_tag") if allow_exact_matches else F.desc("_asof_tag")
     wb = (
         Window.partitionBy(*by)
-        .orderBy(F.asc_nulls_first("_asof_ts"), F.asc("_asof_tag"))
+        .orderBy(F.asc_nulls_first("_asof_ts"), tag_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy(*by)
-        .orderBy(F.desc_nulls_first("_asof_ts"), F.asc("_asof_tag"))
+        .orderBy(F.desc_nulls_first("_asof_ts"), tag_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = both.select(

@@ -289,6 +289,53 @@ def stream_dedup_append(
     return writer.start()
 
 
+def stream_replicate(
+    spark,
+    src: Table,
+    target: Table,
+    keys,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Continuous CDC replication: an ``icemaint`` readStream on the
+    SOURCE table is used purely as a change TRIGGER — each micro-batch
+    invokes ``operators/replicate.apply_changelog``, which reads its
+    own exact changelog window behind its crash-safe committed anchor.
+    The batch's rows are never consumed, so streaming replay,
+    reordering, or a missed trigger can neither double- nor
+    skip-apply: every apply folds ALL outstanding source changes up to
+    the source's current snapshot (including delete-only commits the
+    append-only stream itself would not surface; they ride along with
+    the next triggering commit or the availableNow drain).
+
+    Returns the StreamingQuery. Default trigger is ``availableNow``
+    (drain pending changes and stop); pass e.g.
+    ``{"processingTime": "30 seconds"}`` for continuous tailing."""
+    from iceberg_compaction_spark.operators.replicate import apply_changelog
+    from iceberg_compaction_spark.sources.datasource import register
+
+    register(spark)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        # rows ignored: apply_changelog pulls the exact window itself
+        apply_changelog(batch_df.sparkSession, src, target, keys)
+
+    stream = (
+        spark.readStream.format("icemaint")
+        .option("path", src.location)
+        .option("starting_snapshot_id", "earliest")
+        .load()
+    )
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply_batch)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def stream_enrich_asof(
     stream_df: DataFrame,
     dim_table: Table,

@@ -22,10 +22,10 @@ _rows = st.lists(
 )
 
 
-def _model(left, right, direction):
+def _model(left, right, direction, exact=True):
     if direction == "nearest":
-        b = _model(left, right, "backward")
-        f = _model(left, right, "forward")
+        b = _model(left, right, "backward", exact)
+        f = _model(left, right, "forward", exact)
         out = {}
         for key in b:
             _k, ts, _v = key
@@ -41,19 +41,26 @@ def _model(left, right, direction):
         for rk, rts, rv in right:
             if rk != k:
                 continue
-            if direction == "backward" and rts <= ts:
+            back_ok = rts <= ts if exact else rts < ts
+            fwd_ok = rts >= ts if exact else rts > ts
+            if direction == "backward" and back_ok:
                 if best is None or rts > best[0]:
                     best = (rts, rv)
-            if direction == "forward" and rts >= ts:
+            if direction == "forward" and fwd_ok:
                 if best is None or rts < best[0]:
                     best = (rts, rv)
         out[(k, ts, v)] = best
     return out
 
 
-@settings(max_examples=10, deadline=None)
-@given(_rows, _rows, st.sampled_from(["backward", "forward", "nearest"]))
-def test_asof_join_matches_python_model(spark, left, right, direction):
+@settings(max_examples=16, deadline=None)
+@given(
+    _rows,
+    _rows,
+    st.sampled_from(["backward", "forward", "nearest"]),
+    st.booleans(),
+)
+def test_asof_join_matches_python_model(spark, left, right, direction, exact):
     # unique (key, ts) on the right — the documented determinism rule
     right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
     # unique left rows so the output multiset maps 1:1 onto the model
@@ -68,12 +75,14 @@ def test_asof_join_matches_python_model(spark, left, right, direction):
         rdf = rdf.filter("ts > 0")  # empty right side, schema kept
     got = {
         (r["key"], r["ts"], r["lval"]): (r["ts_r"], r["rval_r"])
-        for r in asof_join(ldf, rdf, by="key", direction=direction).collect()
+        for r in asof_join(
+            ldf, rdf, by="key", direction=direction, allow_exact_matches=exact
+        ).collect()
     }
-    want = _model(left, right if right else [], direction)
+    want = _model(left, right if right else [], direction, exact)
     assert set(got) == set(want)
     for k in want:
-        assert got[k] == (want[k] if want[k] else (None, None)), (k, direction)
+        assert got[k] == (want[k] if want[k] else (None, None)), (k, direction, exact)
 
 
 def test_asof_join_equal_ts_matches(spark):

@@ -175,6 +175,34 @@ def test_apply_changelog_composes_with_target_compaction(spark, tmp_warehouse):
     assert _rows(tgt, spark) == _rows(src, spark)
 
 
+def test_stream_replicate_tails_source(spark, tmp_warehouse):
+    """Streaming CDC: the source readStream triggers applies; restart
+    with the same checkpoint continues, and source deletes (which the
+    append-only stream never surfaces as rows) still reach the target
+    because each apply folds the full outstanding changelog window."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.streaming.ingest import stream_replicate
+
+    src, tgt = _mk(spark, tmp_warehouse, "t6")
+    ckpt = os.path.join(tmp_warehouse, "t6_ckpt")
+    src.append_dataframe(
+        spark.createDataFrame([(i, float(i), "a") for i in range(20)], DDL).coalesce(1)
+    )
+    q = stream_replicate(spark, src, tgt, "k", ckpt)
+    q.awaitTermination(120)
+    assert _rows(tgt, spark) == _rows(src, spark)
+
+    src.append_dataframe(
+        spark.createDataFrame([(100, 1.0, "b")], DDL).coalesce(1)
+    )
+    delete_where(spark, src, "k < 5")
+    q2 = stream_replicate(spark, src, tgt, "k", ckpt)  # same checkpoint
+    q2.awaitTermination(120)
+    assert _rows(tgt, spark) == _rows(src, spark)
+    assert (100, 1.0, "b") in _rows(tgt, spark)
+    assert all(k >= 5 for k, _v, _t in _rows(tgt, spark) if k < 100)
+
+
 def test_apply_changelog_upsert_pair_nets_to_insert(spark, tmp_warehouse):
     """A MERGE emits delete(old)+insert(new) in ONE snapshot: the net
     must keep the insert, and keys deleted in a LATER snapshot than
