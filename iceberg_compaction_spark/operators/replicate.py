@@ -134,7 +134,14 @@ def apply_changelog(
                 if target.files(content="data")
                 else []
             )
-            infos_data = target.write_data_files(upserts)
+            # empty-partition writes can emit zero-record part-files:
+            # drop them so a change-free window commits nothing (same
+            # rule as merge_into's append path)
+            infos_del = [fi for fi in infos_del if fi.record_count > 0]
+            infos_data = [
+                fi for fi in target.write_data_files(upserts)
+                if fi.record_count > 0
+            ]
             n_up = sum(fi.record_count for fi in infos_data)
             n_del = net.filter(F.col(CHANGE_TYPE_COL) == "delete").count()
             if not infos_del and not infos_data:
