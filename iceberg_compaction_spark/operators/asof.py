@@ -219,6 +219,7 @@ def asof_join_salted(
     bucket_width: float = 3600.0,
     direction: str = "backward",
     suffix: str = "_r",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """``asof_join`` for PATHOLOGICAL keys, both directions — the
     documented recipe for a single ``by`` key whose history exceeds one
@@ -245,13 +246,24 @@ def asof_join_salted(
     ``nearest`` composes the two directional salted passes (the
     second treats the first's appended candidate columns as ordinary
     left payload) and keeps the closer side per row — 2× the salted
-    cost, still never a per-key window over the full hot history."""
+    cost, still never a per-key window over the full hot history.
+
+    ``allow_exact_matches=False`` (strict < / >, pandas ``merge_asof``
+    parity) delegates entirely to stage 1's tie-order flip: strictness
+    only matters for EQUAL timestamps, equal timestamps share a
+    ``floor(ts/width)`` bucket by construction, and the stage-2/3
+    carry fills only from strictly earlier (backward) / later
+    (forward) buckets — whose timestamps satisfy the strict comparison
+    automatically. Pinned by the hypothesis equivalence grid
+    (direction × width × exact, tests/test_asof.py)."""
     if direction == "nearest":
         b = asof_join_salted(
-            left, right, by, ts_col, bucket_width, "backward", suffix="__b"
+            left, right, by, ts_col, bucket_width, "backward", suffix="__b",
+            allow_exact_matches=allow_exact_matches,
         )
         bf = asof_join_salted(
-            b, right, by, ts_col, bucket_width, "forward", suffix="__f"
+            b, right, by, ts_col, bucket_width, "forward", suffix="__f",
+            allow_exact_matches=allow_exact_matches,
         )
         by_l = [by] if isinstance(by, str) else list(by)
         pcols = [c for c in right.columns if c not in by_l]
@@ -295,9 +307,11 @@ def asof_join_salted(
     lb = left.withColumn("_bkt", F.floor(_num(left, ts_col) / F.lit(float(bucket_width))))
     rb = right.withColumn("_bkt", F.floor(_num(right, ts_col) / F.lit(float(bucket_width))))
 
-    # stage 1: within-bucket as-of (the hot key is now split)
+    # stage 1: within-bucket as-of (the hot key is now split); the
+    # strict tie order lives entirely here — see the docstring
     stage1 = asof_join(
-        lb, rb, by=[*by, "_bkt"], ts_col=ts_col, direction=direction, suffix=suffix
+        lb, rb, by=[*by, "_bkt"], ts_col=ts_col, direction=direction,
+        suffix=suffix, allow_exact_matches=allow_exact_matches,
     )
 
     # stage 2: per-bucket boundary payloads + cross-bucket carry.

@@ -51,14 +51,23 @@ def _target_key_intervals(table: Table, key: str) -> list[tuple] | None:
     """Merged [min, max] intervals of ``key`` across the target's live
     data files, from manifest bounds only (no data read). ``None`` when
     any file lacks bounds (scoping impossible); ``[]`` for an empty
-    target (nothing can match)."""
+    target (nothing can match). Zero-record part-files hold nothing to
+    match; files whose key column is ALL NULL legitimately carry no
+    bounds and can never satisfy an equality join — both are skipped
+    rather than poisoning the scope (round 8, shared with the CDC
+    apply's absent-key tombstone skip)."""
     intervals: list[tuple] = []
     for r in table.files(content=mf.CONTENT_DATA):
+        if not r.get("record_count"):
+            continue
         try:
             st = json.loads(r.get("stats_json") or "{}").get(key)
         except ValueError:
             return None
         if not st or st.get("min") is None or st.get("max") is None:
+            nulls = (st or {}).get("nulls")
+            if nulls is not None and nulls >= r["record_count"]:
+                continue
             return None
         intervals.append((st["min"], st["max"]))
     if not intervals:

@@ -30,6 +30,22 @@ walked (source rolled back past the anchor, or expired mid-window)
 falls back to one full RESYNC — the target is atomically replaced
 with the source's current rows.
 
+Target hygiene (round 8): left alone, N applies leave N eq-delete
+files of mostly-dead tombstones that every MoR read chains through —
+the exact delete-file debt the reference's planner exists to notice
+(crates/planner/src/file_selection.rs:212-216). Two bounds:
+
+  * tombstones for keys PROVABLY ABSENT from the target are skipped
+    using manifest key bounds (the min/max stats S9 already stores —
+    metadata-only, the target is still never scanned). Conservative:
+    a file with unknown bounds, a non-orderable key type, or too many
+    disjoint intervals ⇒ tombstone everything, as before.
+  * ``delete_file_debt_limit`` (default 64 live eq-delete files) runs
+    ``rewrite_equality_deletes`` on the target inside the apply loop
+    once crossed, consolidating per key set and dropping dead entries
+    — so steady-state applies hold the target's delete-file count
+    bounded regardless of apply cadence.
+
 Scale shape: a refresh costs O(changed rows) — the changelog's
 append-commit scans read only added files, the net is one window over
 the change set keyed by the replication key, and the target is never
@@ -53,10 +69,60 @@ from iceberg_compaction_spark.operators.changelog import (
     changelog_scan,
 )
 from iceberg_compaction_spark.operators.merge_into import table_write_eq_delete
+from iceberg_compaction_spark.sources import manifest as mf
 from iceberg_compaction_spark.sources.table import Table
 
 _ANCHOR_PROP = "replicate.last-src-snapshot"
 _ANCHOR_SUMMARY = "replicate_src_snapshot"
+
+#: Spark dtypes whose manifest min/max stats order exactly like the
+#: column itself (what the absent-key tombstone skip requires); dates /
+#: timestamps / binaries are excluded — their stats round-trip through
+#: JSON as strings whose comparison semantics we refuse to guess.
+_BOUNDS_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double", "string")
+
+
+def _present_key_intervals(
+    target: Table, key: str, max_intervals: int = 512
+) -> list[tuple] | None:
+    """Merged [min, max] intervals of ``key`` over the target's live
+    data files — ``merge_into._target_key_intervals`` (the MERGE
+    delete-scope machinery, reused verbatim: metadata-only, never a
+    scan; zero-record and all-NULL-key files skipped) plus the
+    replication-side conservatisms: mixed stat kinds and more disjoint
+    intervals than we will inline into one predicate both return None,
+    meaning "absence provable for NO key — tombstone everything",
+    exactly the pre-round-8 behavior."""
+    from iceberg_compaction_spark.operators.merge_into import (
+        _target_key_intervals,
+    )
+
+    ivs = _target_key_intervals(target, key)
+    if ivs is None or len(ivs) > max_intervals:
+        return None
+    kinds = {
+        ("num" if isinstance(x, (int, float)) and not isinstance(x, bool) else type(x).__name__)
+        for iv in ivs
+        for x in iv
+    }
+    if ivs and kinds not in ({"num"}, {"str"}):
+        return None
+    return ivs
+
+
+def _intervals_if_orderable(net, target: Table, key: str) -> list[tuple] | None:
+    """``_present_key_intervals`` gated on the key column's dtype: the
+    skip engages only when the Spark type and the JSON-round-tripped
+    stat values share exact ordering semantics. None ⇒ no skip."""
+    t = dict(net.dtypes).get(key, "")
+    if t not in _BOUNDS_DTYPES:
+        return None
+    iv = _present_key_intervals(target, key)
+    if iv is None:
+        return None
+    if iv and (t == "string") != isinstance(iv[0][0], str):
+        return None  # stat kind does not match the column kind
+    return iv
 
 
 def _last_applied(target: Table) -> int | None:
@@ -77,18 +143,33 @@ def apply_changelog(
     src: Table,
     target: Table,
     keys: list[str],
+    skip_absent_tombstones: bool = True,
+    delete_file_debt_limit: int | None = 64,
 ) -> dict:
     """Fold source changes since the last apply into ``target``.
     Returns {mode: noop|incremental|resync, upserts, deletes,
-    from_snapshot, to_snapshot}. ``keys`` is the replication key (the
-    source must be unique per key at any snapshot, e.g. its MERGE
-    key); column set replicated = the target's user columns."""
+    from_snapshot, to_snapshot, tombstones_written,
+    tombstones_skipped, eq_delete_files, consolidated}. ``keys`` is
+    the replication key (the source must be unique per key at any
+    snapshot, e.g. its MERGE key); column set replicated = the
+    target's user columns.
+
+    ``skip_absent_tombstones`` drops tombstones for keys provably
+    absent from the target (manifest key bounds on ``keys[0]`` —
+    metadata-only; see ``_present_key_intervals``). NULL net keys are
+    always tombstoned. ``delete_file_debt_limit``: once the target
+    holds at least this many live eq-delete files after an apply,
+    ``rewrite_equality_deletes`` consolidates them in the same loop
+    (None disables)."""
     last = _last_applied(target)
     cur = src.current_snapshot_id
     if cur is None or cur == last:
         return {
             "mode": "noop", "upserts": 0, "deletes": 0,
             "from_snapshot": last, "to_snapshot": cur,
+            "tombstones_written": 0, "tombstones_skipped": 0,
+            "eq_delete_files": len(target.files(content=mf.CONTENT_EQ_DEL)),
+            "consolidated": False,
         }
     cols = target.user_columns()
     try:
@@ -101,8 +182,14 @@ def apply_changelog(
         mode = "resync"
 
     if mode == "resync":
-        rows = src.scan(spark, columns=cols)
-        infos = target.write_data_files(rows)
+        # pinned to ``cur``: the anchor records cur, so rows from a
+        # commit racing in after the capture must not ride this resync
+        # (they'd be applied again by the next incremental window);
+        # zero-record part-files are dropped like the incremental path
+        rows = src.scan(spark, snapshot_id=cur, columns=cols)
+        infos = [
+            fi for fi in target.write_data_files(rows) if fi.record_count > 0
+        ]
         target.commit(
             "merge",
             added=infos,
@@ -111,6 +198,7 @@ def apply_changelog(
         )
         n_up = sum(fi.record_count for fi in infos)
         n_del = 0
+        n_tomb = n_skip = 0
     else:
         # net per key: the LAST change wins; within one snapshot an
         # upsert pair (delete old + insert new) collapses to the insert
@@ -125,15 +213,24 @@ def apply_changelog(
         ).persist()
         try:
             upserts = net.filter(F.col(CHANGE_TYPE_COL) == "insert").select(*cols)
+            # net is already unique per key (the _rn == 1 filter), so
+            # the tombstone set is a plain projection — no distinct
+            # (the round-7 form paid a redundant shuffle here)
+            tomb = net.select(*keys)
             # an empty target (initial load) needs no tombstones —
             # nothing exists to kill, so the apply is a pure append
-            infos_del = (
-                table_write_eq_delete(
-                    target, net.select(*keys).distinct(), keys
-                )
-                if target.files(content="data")
-                else []
-            )
+            infos_del = []
+            tomb_attempted = bool(target.files(content="data"))
+            if tomb_attempted:
+                if skip_absent_tombstones:
+                    iv = _intervals_if_orderable(net, target, keys[0])
+                    if iv is not None:
+                        k = F.col(keys[0])
+                        present = k.isNull()  # NULL keys: never skipped
+                        for lo, hi in iv:
+                            present = present | k.between(F.lit(lo), F.lit(hi))
+                        tomb = tomb.filter(present)
+                infos_del = table_write_eq_delete(target, tomb, keys)
             # empty-partition writes can emit zero-record part-files:
             # drop them so a change-free window commits nothing (same
             # rule as merge_into's append path)
@@ -143,7 +240,16 @@ def apply_changelog(
                 if fi.record_count > 0
             ]
             n_up = sum(fi.record_count for fi in infos_data)
-            n_del = net.filter(F.col(CHANGE_TYPE_COL) == "delete").count()
+            # ONE aggregation over the persisted net for the change
+            # counts (the round-7 form ran a separate filter+count)
+            cnt = net.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(is_ins).alias("ins"),
+            ).collect()[0]
+            n_keys = int(cnt["n"] or 0)
+            n_del = n_keys - int(cnt["ins"] or 0)
+            n_tomb = sum(fi.record_count for fi in infos_del)
+            n_skip = n_keys - n_tomb if tomb_attempted else 0
             if not infos_del and not infos_data:
                 # pure-metadata window on the source: advance the
                 # anchor without a commit (same rule as the rollup)
@@ -152,6 +258,9 @@ def apply_changelog(
                 return {
                     "mode": "incremental", "upserts": 0, "deletes": 0,
                     "from_snapshot": last, "to_snapshot": cur,
+                    "tombstones_written": 0, "tombstones_skipped": int(n_skip),
+                    "eq_delete_files": len(target.files(content=mf.CONTENT_EQ_DEL)),
+                    "consolidated": False,
                 }
             target.commit(
                 "merge",
@@ -166,7 +275,26 @@ def apply_changelog(
         from iceberg_compaction_spark.metrics import GLOBAL
 
         GLOBAL.inc("replicate.anchor_mark_write_failed")
-    return {
+    result = {
         "mode": mode, "upserts": int(n_up), "deletes": int(n_del),
         "from_snapshot": last, "to_snapshot": cur,
+        "tombstones_written": int(n_tomb), "tombstones_skipped": int(n_skip),
+        "consolidated": False,
     }
+    # delete-file-debt trigger: bound the tombstone files a long apply
+    # cadence accrues — the same FilesWithDeletes signal the reference
+    # plans rewrites from, composed with our own eq-delete consolidator
+    eq_files = target.files(content=mf.CONTENT_EQ_DEL)
+    if (
+        delete_file_debt_limit is not None
+        and len(eq_files) >= delete_file_debt_limit
+    ):
+        from iceberg_compaction_spark.operators.maintenance import (
+            rewrite_equality_deletes,
+        )
+
+        rewrite_equality_deletes(spark, target)
+        result["consolidated"] = True
+        eq_files = target.files(content=mf.CONTENT_EQ_DEL)
+    result["eq_delete_files"] = len(eq_files)
+    return result

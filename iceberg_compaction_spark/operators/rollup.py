@@ -107,6 +107,7 @@ def hist_quantile(
         raise ValueError(f"q must be in (0, 1], got {q}")
     from pyspark.sql import Window
 
+    groups = df.select(*group_cols).distinct()
     e = df.select(
         *group_cols, F.posexplode(hist_col).alias("_bin", "_cnt")
     )
@@ -135,7 +136,14 @@ def hist_quantile(
     est = F.lit(float(lo)) + (
         F.col("_bin") + F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
     ) * F.lit(float(width))
-    return first.select(*group_cols, est.alias(f"q{int(q * 100)}"))
+    # round, not int(): int truncates (q=0.29 would name the column
+    # q28). Empty-histogram groups (all bins zero — e.g. every source
+    # value NULL) have no straddling bin; surface them as NULL
+    # estimates via the left join instead of silently dropping them.
+    out_col = f"q{round(q * 100)}"
+    return groups.join(
+        first.select(*group_cols, est.alias(out_col)), group_cols, "left"
+    )
 
 
 def time_bucket(col, width_s: float):
@@ -198,13 +206,34 @@ def gapfill_locf(
         )
         .select(
             *group_cols,
+            F.col("_step_i"),
             (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
             .cast("double")
             .alias(bucket_col),
         )
     )
-    src = df.withColumn("_observed", F.lit(1))
-    joined = grid.join(src, [*group_cols, bucket_col], "left")
+    # join on the INTEGER step index, not double equality of the bucket
+    # value: for a non-integral step the grid's ``lo + i*step`` and the
+    # caller's ``floor(sec/step)*step`` can differ by one ulp, which
+    # would silently flag every observed bucket as a gap. Rows whose
+    # bucket is not grid-aligned (beyond ulp tolerance) never matched
+    # under double equality either — keep excluding them.
+    src_i = F.round((F.col(bucket_col) - F.lit(lo)) / F.lit(float(step))).cast(
+        "bigint"
+    )
+    src = (
+        df.withColumn("_step_i", src_i)
+        .filter(
+            F.abs(
+                F.col(bucket_col)
+                - (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
+            )
+            <= F.lit(float(step) * 1e-9)
+        )
+        .drop(bucket_col)
+        .withColumn("_observed", F.lit(1))
+    )
+    joined = grid.join(src, [*group_cols, "_step_i"], "left")
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(bucket_col)
@@ -221,6 +250,133 @@ def gapfill_locf(
         (F.col("_observed").isNull()).alias("gap_filled"),
     )
     return out
+
+
+def gapfill_locf_salted(
+    df,
+    group_cols: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+    start: float,
+    end: float,
+    step: float,
+    chunk_buckets: int = 1024,
+):
+    """``gapfill_locf`` for a PATHOLOGICAL group — one whose bucket
+    range exceeds what a single per-group window partition should
+    serialize. The asof-salted recipe (``operators/asof.py``), grid
+    edition:
+
+      1. the grid carries a chunk id (``step_index // chunk_buckets``)
+         and the LOCF window partitions by (group, chunk) — a hot
+         group's fill runs as ceil(buckets/chunk_buckets) independent
+         window partitions instead of one;
+      2. per (group, chunk) the LAST OBSERVED value of each column
+         (from source rows only) feeds a cumulative cross-chunk carry —
+         a |groups| × |chunks| relation, thousands of times smaller
+         than the grid, so its per-group window is trivially cheap;
+      3. grid rows before their chunk's first observation fill from
+         the carry.
+
+    Row-identical to ``gapfill_locf`` (pinned by an equivalence test);
+    same guards, same output schema."""
+    if step <= 0 or end < start:
+        raise ValueError(f"bad gapfill range [{start}, {end}] step {step}")
+    if chunk_buckets < 1:
+        raise ValueError(f"chunk_buckets must be >= 1, got {chunk_buckets}")
+    from pyspark.sql import Window
+
+    lo = float(start) - (float(start) % float(step))
+    n_steps = int((float(end) - lo) // float(step))
+    if n_steps > 1_000_000:
+        raise ValueError(
+            f"gapfill grid would have {n_steps + 1} buckets per group "
+            "(> 1e6); widen step or narrow the range"
+        )
+    n_chunks = n_steps // chunk_buckets
+    groups = df.select(*group_cols).distinct()
+    grid = groups.select(
+        *group_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_steps))).alias("_step_i"),
+    ).select(
+        *group_cols,
+        F.col("_step_i"),
+        (F.col("_step_i") / F.lit(int(chunk_buckets))).cast("bigint").alias("_chunk"),
+        (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
+        .cast("double")
+        .alias(bucket_col),
+    )
+    src_i = F.round((F.col(bucket_col) - F.lit(lo)) / F.lit(float(step))).cast(
+        "bigint"
+    )
+    src = (
+        df.withColumn("_step_i", src_i)
+        .filter(
+            F.abs(
+                F.col(bucket_col)
+                - (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
+            )
+            <= F.lit(float(step) * 1e-9)
+        )
+        .drop(bucket_col)
+        .withColumn("_observed", F.lit(1))
+        .withColumn(
+            "_chunk",
+            (F.col("_step_i") / F.lit(int(chunk_buckets))).cast("bigint"),
+        )
+    )
+    # stage 2: per-(group, chunk) last observed value per column (max
+    # over (step, value) structs skips NULL values like the window's
+    # ignorenulls), then the cumulative carry over STRICTLY earlier
+    # chunks — |groups| × |chunks| rows
+    lastobs = src.groupBy(*group_cols, "_chunk").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col("_step_i").alias("_i"), F.col(c).alias("_v")),
+                )
+            )["_v"].alias(c + "_last")
+            for c in value_cols
+        ]
+    )
+    spine = groups.select(
+        *group_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_chunks)))).alias("_chunk"),
+    )
+    wcarry = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.join(lastobs, [*group_cols, "_chunk"], "left").select(
+        *group_cols,
+        "_chunk",
+        *[
+            F.last(c + "_last", ignorenulls=True).over(wcarry).alias(c + "_carry")
+            for c in value_cols
+        ],
+    )
+    joined = grid.join(src.drop("_chunk"), [*group_cols, "_step_i"], "left").join(
+        carry, [*group_cols, "_chunk"], "left"
+    )
+    w = (
+        Window.partitionBy(*group_cols, "_chunk")
+        .orderBy("_step_i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *group_cols,
+        bucket_col,
+        *value_cols,
+        *[
+            F.coalesce(
+                F.last(c, ignorenulls=True).over(w), F.col(c + "_carry")
+            ).alias(c + "_filled")
+            for c in value_cols
+        ],
+        (F.col("_observed").isNull()).alias("gap_filled"),
+    )
 
 
 def _last_anchor(rollup: Table) -> int | None:
@@ -337,7 +493,10 @@ def refresh_rollup(
             }
         delta = src.read_data_rows(spark, live).select(*cols)
     else:
-        delta = src.scan(spark, columns=cols)
+        # PINNED to ``cur``: a commit landing between the anchor capture
+        # above and this scan must not be folded in — the anchor records
+        # only ``cur``, so the next refresh would fold those rows again
+        delta = src.scan(spark, snapshot_id=cur, columns=cols)
 
     def _exprs(src_is_state: bool):
         out = []

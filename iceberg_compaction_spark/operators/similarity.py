@@ -107,6 +107,7 @@ def brute_force_topk_vectorized(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k, matmul form: the (small) query matrix rides in a
     closure; each corpus partition computes a batch × queries similarity
@@ -114,8 +115,20 @@ def brute_force_topk_vectorized(
     query; a global window keeps the true top-k. Versus the crossJoin +
     interpreted higher-order aggregate: no |Q|×|corpus| row explosion
     ever materializes and the arithmetic is BLAS, not expression
-    interpretation — the scale path when |Q| is hundreds+."""
-    q_rows = queries.select(id_col, vec_col).collect()
+    interpretation — the scale path when |Q| is hundreds+.
+
+    The query side is COLLECTED to the driver by contract (it rides in
+    every task's closure); ``max_query_rows`` makes misuse refuse
+    rather than explode (the range-join/gapfill guard rule). A truly
+    large query set belongs in ``lsh_topk``/``ivf_topk``, whose
+    query-side stays distributed."""
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk_vectorized collects the query side into "
+            f"task closures; got > {max_query_rows} query rows — raise "
+            "max_query_rows deliberately or use lsh_topk/ivf_topk"
+        )
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -136,14 +136,17 @@ def test_asof_join_nearest_tie_and_sides(spark):
     _rows,
     st.sampled_from([1.0, 4.0, 100.0]),
     st.sampled_from(["backward", "forward", "nearest"]),
+    st.booleans(),
 )
-def test_asof_join_salted_equivalent(spark, left, right, w, direction):
+def test_asof_join_salted_equivalent(spark, left, right, w, direction, exact):
     """The hot-key form (bucketed windows + cross-bucket carry) must be
-    row-identical to the plain as-of join for every bucket width and
-    ALL THREE directions — including widths that force the carry path
-    (w=1: most matches come from a neighbouring bucket, and nearest
-    must let a next-bucket candidate beat a same-bucket one) and one
-    that degenerates to a single bucket (w=100)."""
+    row-identical to the plain as-of join for every bucket width, ALL
+    THREE directions, and BOTH tie semantics (allow_exact_matches,
+    round 8) — including widths that force the carry path (w=1: most
+    matches come from a neighbouring bucket, and nearest must let a
+    next-bucket candidate beat a same-bucket one; with w=1 and integer
+    timestamps, strict matches are often exactly the cross-bucket
+    ones) and one that degenerates to a single bucket (w=100)."""
     from iceberg_compaction_spark.operators.asof import asof_join_salted
 
     right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
@@ -159,15 +162,54 @@ def test_asof_join_salted_equivalent(spark, left, right, w, direction):
     cols = ("key", "ts", "lval", "ts_r", "rval_r")
     plain = sorted(
         tuple(r[c] for c in cols)
-        for r in asof_join(ldf, rdf, by="key", direction=direction).collect()
+        for r in asof_join(
+            ldf, rdf, by="key", direction=direction, allow_exact_matches=exact
+        ).collect()
     )
     salted = sorted(
         tuple(r[c] for c in cols)
         for r in asof_join_salted(
-            ldf, rdf, by="key", bucket_width=w, direction=direction
+            ldf, rdf, by="key", bucket_width=w, direction=direction,
+            allow_exact_matches=exact,
         ).collect()
     )
-    assert plain == salted, (left, right, w, direction)
+    assert plain == salted, (left, right, w, direction, exact)
+
+
+def test_asof_join_salted_strict_boundary_rows(spark):
+    """Directed strict-mode cases at bucket boundaries: an equal-ts
+    right row in the SAME bucket must not match (strict), while the
+    nearest strictly-earlier/later right row — even in another bucket —
+    must. ts=10 sits exactly on a bucket edge with width 5."""
+    from iceberg_compaction_spark.operators.asof import asof_join_salted
+
+    ldf = spark.createDataFrame(
+        [(1, 10, "edge"), (1, 5, "mid")], "key long, ts long, tag string"
+    )
+    rdf = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 5, "r5"), (1, 3, "r3"), (1, 12, "r12")],
+        "key long, ts long, rtag string",
+    )
+    back = {
+        r["tag"]: r["rtag_r"]
+        for r in asof_join_salted(
+            ldf, rdf, by="key", bucket_width=5.0, direction="backward",
+            allow_exact_matches=False,
+        ).collect()
+    }
+    # strict backward: ts=10 skips r10, takes r5 (previous bucket);
+    # ts=5 skips r5, takes r3 (same bucket)
+    assert back == {"edge": "r5", "mid": "r3"}
+    fwd = {
+        r["tag"]: r["rtag_r"]
+        for r in asof_join_salted(
+            ldf, rdf, by="key", bucket_width=5.0, direction="forward",
+            allow_exact_matches=False,
+        ).collect()
+    }
+    # strict forward: ts=10 skips r10, takes r12 (same bucket);
+    # ts=5 skips r5, takes r10 (next bucket, via the carry)
+    assert fwd == {"edge": "r12", "mid": "r10"}
 
 
 def test_asof_join_salted_splits_hot_key_partitions(spark):

@@ -220,3 +220,133 @@ def test_apply_changelog_upsert_pair_nets_to_insert(spark, tmp_warehouse):
     r = apply_changelog(spark, src, tgt, ["k"])
     assert r["upserts"] == 1 and r["deletes"] == 1
     assert _rows(tgt, spark) == [(1, 10.0, "b")]
+
+
+def test_tombstones_skipped_for_provably_absent_keys(spark, tmp_warehouse):
+    """Round-8 hygiene: net keys outside every live target data file's
+    manifest [min, max] bounds are provably absent — their tombstones
+    are skipped (metadata-only check), while present keys still get
+    one. Result must be identical to a skip-disabled apply."""
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    src, tgt = _mk(spark, tmp_warehouse, "t7")
+    src2 = Table.create(os.path.join(tmp_warehouse, "t7_src2"), DDL)
+    tgt2 = Table.create(os.path.join(tmp_warehouse, "t7_tgt2"), DDL)
+    base = [(i, float(i), "a") for i in range(20)]
+    delta = [(5, 55.0, "b")] + [(1000 + i, 9.0, "new") for i in range(5)]
+    for s, t in ((src, tgt), (src2, tgt2)):
+        s.append_dataframe(spark.createDataFrame(base, DDL).coalesce(1))
+        apply_changelog(spark, s, t, ["k"], skip_absent_tombstones=(t is tgt))
+        merge_into(s, spark.createDataFrame(delta, DDL), ["k"])
+    r_skip = apply_changelog(spark, src, tgt, ["k"], skip_absent_tombstones=True)
+    r_full = apply_changelog(spark, src2, tgt2, ["k"], skip_absent_tombstones=False)
+    # keys 1000..1004 are outside [0, 19] on every target file
+    assert r_skip["tombstones_written"] == 1
+    assert r_skip["tombstones_skipped"] == 5
+    assert r_full["tombstones_written"] == 6
+    assert r_full["tombstones_skipped"] == 0
+    assert r_skip["upserts"] == r_full["upserts"] == 6
+    assert _rows(tgt, spark) == _rows(tgt2, spark) == _rows(src, spark)
+
+
+def test_tombstone_skip_conservative_on_unknown_bounds(spark, tmp_warehouse):
+    """A live target file with unknown key bounds makes NO key provably
+    absent: the skip must fall back to tombstoning everything."""
+    import json as _json
+
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.operators.replicate import (
+        _present_key_intervals,
+    )
+
+    src, tgt = _mk(spark, tmp_warehouse, "t8")
+    src.append_dataframe(
+        spark.createDataFrame([(i, 1.0, "a") for i in range(10)], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"])
+    # sanity: bounds known -> intervals exist
+    assert _present_key_intervals(tgt, "k") == [(0, 9)]
+    # erase the key's stats on one target file (simulates a writer that
+    # kept no footer stats) and verify the skip disengages
+    man = tgt.manifest()
+    f = [r for r in man if r["content"] == "data"][0]
+    st = _json.loads(f["stats_json"])
+    st["k"] = {"min": None, "max": None, "nulls": 0}
+    f["stats_json"] = _json.dumps(st)
+    import iceberg_compaction_spark.sources.manifest as mf_mod
+
+    path = os.path.join(tgt.location, "meta", "m_test_nobounds.parquet")
+    mf_mod.write_manifest(man, path)
+    orig = Table.manifest
+    try:
+        Table.manifest = lambda self, snapshot_id=None: (
+            mf_mod.read_manifest(path) if self is tgt else orig(self, snapshot_id)
+        )
+        assert _present_key_intervals(tgt, "k") is None
+        merge_into(src, spark.createDataFrame([(5000, 5.0, "z")], DDL), ["k"])
+        r = apply_changelog(spark, src, tgt, ["k"])
+    finally:
+        Table.manifest = orig
+    assert r["tombstones_written"] == 1 and r["tombstones_skipped"] == 0
+
+
+def test_delete_file_debt_trigger_bounds_eq_delete_files(spark, tmp_warehouse):
+    """Round-8 hygiene: N applies must leave a BOUNDED number of live
+    eq-delete files on the target — the debt trigger consolidates via
+    rewrite_equality_deletes inside the apply loop — with scans
+    identical before/after each consolidation."""
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    src, tgt = _mk(spark, tmp_warehouse, "t9")
+    src.append_dataframe(
+        spark.createDataFrame([(i, float(i), "a") for i in range(10)], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"])
+    consolidations = 0
+    for step in range(8):
+        merge_into(
+            src,
+            spark.createDataFrame([(step % 10, 100.0 + step, "u")], DDL),
+            ["k"],
+        )
+        before = _rows(src, spark)
+        r = apply_changelog(
+            spark, src, tgt, ["k"], delete_file_debt_limit=3
+        )
+        assert r["mode"] == "incremental"
+        assert r["eq_delete_files"] <= 3
+        consolidations += r["consolidated"]
+        assert _rows(tgt, spark) == before  # scan unchanged by hygiene
+    assert consolidations >= 2, "debt trigger never fired"
+    # disabled: the debt accrues unboundedly (the round-7 behavior)
+    assert apply_changelog(spark, src, tgt, ["k"], delete_file_debt_limit=None)[
+        "consolidated"
+    ] is False
+
+
+def test_apply_runs_bounded_actions_over_change_set(spark, tmp_warehouse):
+    """VERDICT r7 #8: the change counts ride ONE aggregation over the
+    persisted net — no separate filter().count() pass and no redundant
+    .distinct() shuffle on the (already per-key-unique) tombstone set.
+    Behavioral check on the counts + source gate on the passes (raw
+    Spark-job counts are not a stable proxy: AQE and the write paths
+    legitimately spawn many sub-jobs per action)."""
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    src, tgt = _mk(spark, tmp_warehouse, "t10")
+    src.append_dataframe(
+        spark.createDataFrame([(i, float(i), "a") for i in range(10)], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"])
+    merge_into(src, spark.createDataFrame([(3, 33.0, "b")], DDL), ["k"])
+    r = apply_changelog(spark, src, tgt, ["k"])
+    assert r["upserts"] == 1 and r["deletes"] == 0
+    assert r["tombstones_written"] == 1
+    text = open(
+        os.path.join(
+            os.path.dirname(__file__), "..",
+            "iceberg_compaction_spark", "operators", "replicate.py",
+        )
+    ).read()
+    assert ".count()" not in text, "a per-metric count pass crept back in"
+    assert ".distinct()" not in text, "the redundant tombstone distinct returned"
