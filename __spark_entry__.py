@@ -4,23 +4,24 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 90 queries, 88 of them
-DuckDB-oracle-checked. The two keys without an oracle are
-non-SQL-expressible by design (approximate LSH ANN — self-gating on
-in-query recall ≥ 0.6 — and sha1 multimodal features) and get the
-driver's rows-only check; their correctness is pinned by tests/.
+training-data pipeline operators — 92 queries, ALL 92 of them
+DuckDB-oracle-checked as of round 8 (the two former rows-only keys now
+return a deterministic oracle-checkable slice while self-gating their
+approximate/decode parts in-query: ``lsh_ann_topk`` gates LSH recall
+≥ 0.6 against the exact set it returns; ``multimodal_features`` gates
+the mapInPandas decode against JVM sha1 and returns the metadata
+slice).
 
 Ordering note: the driver records a bounded (50-row) prefix of this
-dict, so the LEAST-driver-proven queries come FIRST. Round-7 order:
-the 6 round-7 additions lead (never driver-checked: the forward
-salted as-of join, the maintenance-coexisting rollup refresh, the
-nearest-direction as-of join, the gapfill+LOCF grid, the
-mergeable-histogram rollup state, and CDC replication),
-then the 34 keys past round 6's window (last driver-proven in
-CORRECTNESS_r05 — two rounds stale without this rotation), then the
-round-6 additions (proven r6); the flagship and engine core —
-freshly proven in CORRECTNESS_r06 — take the tail. Every key, window
-or not, is replica-checked every round by tests/test_oracle_parity.py
+dict, so the LEAST-driver-proven queries come FIRST. Round-8 order:
+the 2 round-8 additions (strict salted as-of, salted gapfill) and the
+2 newly-oracled keys lead; then 6 keys whose implementation changed
+this round (CDC hygiene defaults, the gapfill step-index join, the
+hist-quantile read side, rollup recompute pinning, the salted as-of
+strict option); then the 40 keys whose last driver proof is
+CORRECTNESS_r06 (two rounds stale without this rotation). The 46 keys
+proven green in CORRECTNESS_r07 take the tail. Every key, window or
+not, is replica-checked every round by tests/test_oracle_parity.py
 (same row-count + schema + value-multiset comparison at sf0.01).
 """
 
@@ -45,72 +46,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round 7: never driver-checked yet ---
-        "asof_join_salted": QP.q_asof_join_salted,
-        "rollup_refresh_maintain": QP.q_rollup_refresh_maintain,
-        "asof_join_nearest": QP.q_asof_join_nearest,
-        "gapfill_locf": QP.q_gapfill_locf,
-        "rollup_hist": QP.q_rollup_hist,
-        "cdc_replicate": QP.q_cdc_replicate,
-        # --- round 7 rotation: the 34 keys past round 6's 50-row
-        # --- driver window come NEXT so every query's driver proof is
-        # --- at most two rounds old (these were last proven in r5) ---
-        "delete_where_roundtrip": QP.q_delete_where_roundtrip,
-        "merge_into_roundtrip": QP.q_merge_into_roundtrip,
-        "time_travel_scan": QP.q_time_travel_scan,
-        "clustered_compaction_roundtrip": QP.q_clustered_compaction_roundtrip,
-        "bloom_point_lookup": QP.q_bloom_point_lookup,
-        "pruned_range_scan": QP.q_pruned_range_scan,
-        "pruned_or_scan": QP.q_pruned_or_scan,
-        "paragraph_dedup": QP.q_paragraph_dedup,
-        "mor_equality_delete_seq": Q.q_mor_equality_delete_seq,
-        "small_files_selection": Q.q_small_files_selection,
-        "ffd_binpack_window": Q.q_ffd_binpack_window,
-        "delete_file_dedup": Q.q_delete_file_dedup,
-        "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
-        "stream_sessionization": QP.q_stream_sessionization,
-        "neardup_clusters": QP.q_neardup_clusters,
-        "eq_delete_consolidation": QP.q_eq_delete_consolidation,
-        "spec_migration_scan": QP.q_spec_migration_scan,
-        "decontamination": QP.q_decontamination,
-        "stratified_sample": QP.q_stratified_sample,
-        "repetition_metrics": QP.q_repetition_metrics,
-        "conversation_stats": QP.q_conversation_stats,
-        "merge_cow_roundtrip": QP.q_merge_cow_roundtrip,
-        "doc_chunks": QP.q_doc_chunks,
-        "packed_sequences": QP.q_packed_sequences,
-        "datasource_scan": QP.q_datasource_scan,
-        "bm25_relevance": QP.q_bm25_relevance,
-        "simhash_fingerprint": QP.q_simhash_fingerprint,
-        "text_analysis": QP.q_text_analysis,
-        "winnow_fingerprints": QP.q_winnow_fingerprints,
-        "embedding_topk": QP.q_embedding_topk,
-        "embedding_dedup": QP.q_embedding_dedup,
-        "ivf_ann_topk": QP.q_ivf_ann_topk,
-        # rows-only by design (no SQL oracle; self-gating in-query)
+        # --- round 8: never driver-checked yet ---
+        "asof_join_strict": QP.q_asof_join_strict,
+        "gapfill_locf_salted": QP.q_gapfill_locf_salted,
+        # --- newly oracle-backed this round (rows-only in r7) ---
         "lsh_ann_topk": QP.q_lsh_ann_topk,
         "multimodal_features": QP.q_multimodal_features,
-        # --- round-6 additions (driver-proven in CORRECTNESS_r06; the
-        # --- first ~14 land inside this round's window again) ---
-        "filtered_rewrite_scan": QP.q_filtered_rewrite_scan,
-        "incremental_dedup": QP.q_incremental_dedup,
-        "asof_join": QP.q_asof_join,
-        "asof_join_forward": QP.q_asof_join_forward,
-        "range_join": QP.q_range_join,
+        # --- implementation changed this round: re-prove in-window ---
+        "cdc_replicate": QP.q_cdc_replicate,
+        "gapfill_locf": QP.q_gapfill_locf,
+        "rollup_hist": QP.q_rollup_hist,
         "rollup_refresh": QP.q_rollup_refresh,
-        "duplicate_spans": QP.q_duplicate_spans,
-        "span_trim": QP.q_span_trim,
-        "mixture_resample": QP.q_mixture_resample,
-        "export_shards": QP.q_export_shards,
+        "rollup_refresh_maintain": QP.q_rollup_refresh_maintain,
+        "asof_join_salted": QP.q_asof_join_salted,
+        # --- round-8 rotation: the 40 keys whose last driver proof is
+        # --- CORRECTNESS_r06 come next, so every query's driver proof
+        # --- stays at most two rounds old ---
         "hashed_classifier": QP.q_hashed_classifier,
         "line_cleaning": QP.q_line_cleaning,
         "bucket_pruned_lookup": QP.q_bucket_pruned_lookup,
         "pii_redaction": QP.q_pii_redaction,
         "datasource_write_roundtrip": QP.q_datasource_write_roundtrip,
         "orphan_files_antijoin": Q.q_orphan_files_antijoin,
-        # --- tail: engine basics + flagship + core, all driver-proven
-        # --- green in CORRECTNESS_r06 and replica-checked every round
-        # --- by tests/test_oracle_parity.py ---
         "minhash_band_signatures": QP.q_minhash_band_signatures,
         "mor_position_delete": Q.q_mor_position_delete,
         "merge_upsert_dedup": Q.q_merge_upsert_dedup,
@@ -145,23 +102,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_scan": QP.q_schema_evolution_scan,
         "rename_evolution_scan": QP.q_rename_evolution_scan,
         "type_evolution_scan": QP.q_type_evolution_scan,
+        # --- tail: proven green in CORRECTNESS_r07 and replica-checked
+        # --- every round by tests/test_oracle_parity.py ---
+        "asof_join_nearest": QP.q_asof_join_nearest,
+        "delete_where_roundtrip": QP.q_delete_where_roundtrip,
+        "merge_into_roundtrip": QP.q_merge_into_roundtrip,
+        "time_travel_scan": QP.q_time_travel_scan,
+        "clustered_compaction_roundtrip": QP.q_clustered_compaction_roundtrip,
+        "bloom_point_lookup": QP.q_bloom_point_lookup,
+        "pruned_range_scan": QP.q_pruned_range_scan,
+        "pruned_or_scan": QP.q_pruned_or_scan,
+        "paragraph_dedup": QP.q_paragraph_dedup,
+        "mor_equality_delete_seq": Q.q_mor_equality_delete_seq,
+        "small_files_selection": Q.q_small_files_selection,
+        "ffd_binpack_window": Q.q_ffd_binpack_window,
+        "delete_file_dedup": Q.q_delete_file_dedup,
+        "snapshot_expiry_filter": Q.q_snapshot_expiry_filter,
+        "stream_sessionization": QP.q_stream_sessionization,
+        "neardup_clusters": QP.q_neardup_clusters,
+        "eq_delete_consolidation": QP.q_eq_delete_consolidation,
+        "spec_migration_scan": QP.q_spec_migration_scan,
+        "decontamination": QP.q_decontamination,
+        "stratified_sample": QP.q_stratified_sample,
+        "repetition_metrics": QP.q_repetition_metrics,
+        "conversation_stats": QP.q_conversation_stats,
+        "merge_cow_roundtrip": QP.q_merge_cow_roundtrip,
+        "doc_chunks": QP.q_doc_chunks,
+        "packed_sequences": QP.q_packed_sequences,
+        "datasource_scan": QP.q_datasource_scan,
+        "bm25_relevance": QP.q_bm25_relevance,
+        "simhash_fingerprint": QP.q_simhash_fingerprint,
+        "text_analysis": QP.q_text_analysis,
+        "winnow_fingerprints": QP.q_winnow_fingerprints,
+        "embedding_topk": QP.q_embedding_topk,
+        "embedding_dedup": QP.q_embedding_dedup,
+        "ivf_ann_topk": QP.q_ivf_ann_topk,
+        "filtered_rewrite_scan": QP.q_filtered_rewrite_scan,
+        "incremental_dedup": QP.q_incremental_dedup,
+        "asof_join": QP.q_asof_join,
+        "asof_join_forward": QP.q_asof_join_forward,
+        "range_join": QP.q_range_join,
+        "duplicate_spans": QP.q_duplicate_spans,
+        "span_trim": QP.q_span_trim,
+        "mixture_resample": QP.q_mixture_resample,
+        "export_shards": QP.q_export_shards,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "asof_join_salted": QP.ASOF_JOIN_SALTED_SQL,
-        "rollup_refresh_maintain": QP.ROLLUP_REFRESH_MAINTAIN_SQL,
-        "asof_join_nearest": QP.ASOF_JOIN_NEAREST_SQL,
+        "asof_join_strict": QP.ASOF_JOIN_STRICT_SQL,
+        "gapfill_locf_salted": QP.GAPFILL_LOCF_SALTED_SQL,
+        "lsh_ann_topk": QP.LSH_ANN_TOPK_SQL,
+        "multimodal_features": QP.MULTIMODAL_FEATURES_SQL,
+        "cdc_replicate": QP.CDC_REPLICATE_SQL,
         "gapfill_locf": QP.GAPFILL_LOCF_SQL,
         "rollup_hist": QP.ROLLUP_HIST_SQL,
-        "cdc_replicate": QP.CDC_REPLICATE_SQL,
+        "rollup_refresh": QP.ROLLUP_REFRESH_SQL,
+        "rollup_refresh_maintain": QP.ROLLUP_REFRESH_MAINTAIN_SQL,
+        "asof_join_salted": QP.ASOF_JOIN_SALTED_SQL,
+        "asof_join_nearest": QP.ASOF_JOIN_NEAREST_SQL,
         "filtered_rewrite_scan": QP.FILTERED_REWRITE_SCAN_SQL,
         "incremental_dedup": QP.INCREMENTAL_DEDUP_SQL,
         "asof_join": QP.ASOF_JOIN_SQL,
         "asof_join_forward": QP.ASOF_JOIN_FORWARD_SQL,
         "range_join": QP.RANGE_JOIN_SQL,
-        "rollup_refresh": QP.ROLLUP_REFRESH_SQL,
         "duplicate_spans": QP.DUPLICATE_SPANS_SQL,
         "span_trim": QP.SPAN_TRIM_SQL,
         "mixture_resample": QP.MIXTURE_RESAMPLE_SQL,
@@ -190,7 +195,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": QP.EMBEDDING_TOPK_SQL,
         "embedding_dedup": QP.EMBEDDING_DEDUP_SQL,
         "ivf_ann_topk": QP.IVF_ANN_TOPK_SQL,
-        # lsh_ann_topk, multimodal_features: rows-only by design
         "transcripts_compaction_roundtrip": QP.TRANSCRIPTS_COMPACTION_ROUNDTRIP_SQL,
         "maintenance_lifecycle_scan": QP.MAINTENANCE_LIFECYCLE_SCAN_SQL,
         "wap_publish_scan": QP.WAP_PUBLISH_SCAN_SQL,

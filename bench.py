@@ -68,6 +68,11 @@ HEADLINE = [
     "rollup_refresh",  # round 7: incremental materialized rollup
     "gapfill_locf",  # round 7: time grid + LOCF window
     "rollup_hist",  # round 7: mergeable histogram state
+    "cdc_replicate",  # round 8 (r7 verdict #2): changelog-net CDC apply
+    "asof_join_nearest",  # round 8: both directional fills, one Exchange
+    "asof_join_salted",  # round 8: hot-key as-of, carry path
+    "asof_join_strict",  # round 8: strict tie order through the salted form
+    "gapfill_locf_salted",  # round 8: chunked LOCF + cross-chunk carry
 ]
 
 #: ops whose per-rep numbers land in BENCH_HISTORY.jsonl (kind=ops) so
@@ -83,6 +88,9 @@ HISTORY_OPS = [
     "exact_dedup",
     "gapfill_locf",
     "rollup_hist",
+    "cdc_replicate",
+    "asof_join_nearest",
+    "asof_join_salted",
 ]
 
 
@@ -349,9 +357,22 @@ def _write_bench_md(queries: dict, details: dict, lo: dict, hi: dict, efficiency
     ] + [
         "",
         f"Best observed efficiency: **{max(h['efficiency'] for h in history):.2f}**"
-        f" (of {len(history)} runs). Cross-run floor pair (best t_lo over"
-        f" best t_hi — both levels at demonstrated capability): "
-        f"**{(min(h['t_lo'] for h in history) / min(h['t_hi'] for h in history)) / (SCALE_HI / SCALE_LO):.2f}**.",
+        f" (of {len(history)} runs)."
+        + (
+            # floor pair only over history rows measured at the CURRENT
+            # (lo, hi) pair — mixing pairs would normalize a foreign
+            # ratio by the wrong core factor (same filter as the JSON
+            # stat in main())
+            f" Cross-run floor pair (best t_lo over best t_hi at"
+            f" {SCALE_LO}/{SCALE_HI} cores — both levels at demonstrated"
+            f" capability): "
+            f"**{(min(h['t_lo'] for h in same_pair) / min(h['t_hi'] for h in same_pair)) / (SCALE_HI / SCALE_LO):.2f}**."
+            if (same_pair := [
+                h for h in history
+                if h["cores_lo"] == SCALE_LO and h["cores_hi"] == SCALE_HI
+            ])
+            else ""
+        ),
         "",
         "Packaged run: `scripts/spark_submit_bench.sh CORES` ships the",
         "engine as a `--py-files` zip through spark-submit.",

@@ -467,24 +467,53 @@ SELECT e.vec_id, e.label FROM e ANTI JOIN victims x ON e.vec_id = x.vec_id
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via multi-table sign-LSH (pandas-UDF signatures)
-    — no SQL oracle (approximate by construction), but SELF-GATING: the
-    query computes brute-force top-k alongside and RAISES if recall
-    falls below 0.6, so the driver row goes red if the LSH path ever
-    degrades (tests/test_pipeline_ops.py pins the same floor)."""
+    """Approximate ANN via multi-table sign-LSH (pandas-UDF
+    signatures). The LSH result itself is approximate by construction
+    — what IS DuckDB-computable (round 8, VERDICT #6) is the EXACT
+    top-k for the same query points, so the query runs the LSH path,
+    SELF-GATES recall ≥ 0.6 against the exact set (red driver row if
+    the LSH path ever degrades; tests/test_pipeline_ops.py pins the
+    same floor), and returns the exact relation for the value check.
+    Query points differ from `embedding_topk`'s (%100==50 vs ==0) so
+    the two keys prove different slices."""
     _utc(spark)
     from iceberg_compaction_spark.operators.similarity import brute_force_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(F.col("vec_id") % 100 == 50)
     approx = lsh_topk(emb, queries, k=3)
-    exact = brute_force_topk(emb, queries, k=3)
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    exact = brute_force_topk(
+        emb_d, emb_d.filter(F.col("vec_id") % 100 == 50), k=3
+    )
     n_exact = exact.count()
     n_hit = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
     recall = n_hit / max(n_exact, 1)
     if recall < 0.6:
         raise AssertionError(f"LSH ANN recall degraded: {recall:.3f} < 0.6")
-    return approx
+    return exact.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+LSH_ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 50),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+           AS cosine
+  FROM q, e WHERE q.query_id <> e.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine_r
+FROM ranked WHERE rank <= 3
+"""
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,8 +541,14 @@ IVF_ANN_TOPK_SQL = EMBEDDING_TOPK_SQL  # full probe ⇒ identical to exact
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + mapInPandas feature extraction (decode
-    stubbed deterministically). sha1/byte stats are reproducible, but
-    DuckDB lacks sha1 — rows-only check; pytest pins determinism."""
+    stubbed deterministically). Round 8 (VERDICT #6): the DECODE
+    columns stay pytest-pinned (DuckDB lacks sha1 and the luma math),
+    but the deterministic metadata slice — declared mime, byte length,
+    and an md5 checksum of the payload — IS DuckDB-recomputable, so
+    the driver now value-checks it. Self-gates keep the decode path
+    red-on-regression: the mapInPandas sha1 must equal the JVM
+    ``F.sha1`` over the same binary, and brightness must be a valid
+    luma mean."""
     _utc(spark)
     from iceberg_compaction_spark.operators.multimodal import (
         attach_fake_media,
@@ -521,9 +556,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(attach_fake_media(docs), decode="fake").select(
-        "doc_id", "media_type", "byte_len", "sha1", F.round("brightness", 4).alias("brightness_r")
+    media = attach_fake_media(docs)
+    feats = extract_features(media, decode="fake")
+    joined = feats.join(
+        media.select(
+            "doc_id",
+            F.sha1("media").alias("_jvm_sha1"),
+            F.md5("media").alias("media_md5"),
+        ),
+        "doc_id",
     )
+    bad = joined.filter(
+        (F.col("sha1") != F.col("_jvm_sha1"))
+        | F.col("brightness").isNull()
+        | (F.col("brightness") < 0)
+        | (F.col("brightness") > 255)
+    ).count()
+    if bad:
+        raise AssertionError(f"{bad} rows failed the decode self-gate")
+    return joined.select("doc_id", "media_type", "byte_len", "media_md5")
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 AS INT) + 1]
+         AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       md5(text) AS media_md5
+FROM documents
+"""
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2917,6 +2978,63 @@ def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_JOIN_SALTED_SQL = ASOF_JOIN_FORWARD_SQL
 
 
+def q_asof_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: STRICT-match as-of join (pandas ``merge_asof``
+    ``allow_exact_matches=False``), driven through the SALTED form —
+    the round-7 gap (`operators/asof.py::asof_join_salted` lacked the
+    option). Each click looks up the user's PREVIOUS click: the right
+    side is the clicks themselves, so EVERY left row has an equal-ts
+    candidate the strict comparison must skip (the events data has no
+    natural cross-type ts collisions). Self-gated: no match may be at
+    or after the left ts, some matches must exist, the bucket width
+    must split the timeline, and some match must cross a bucket
+    boundary (carry path exercised under strictness)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.asof import asof_join_salted
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    prev = clicks.groupBy("user_id", "ts").agg(
+        F.max("event_id").alias("prev_click_id")
+    )
+    width = 21600.0
+    out = asof_join_salted(
+        clicks, prev, by="user_id", bucket_width=width,
+        direction="backward", allow_exact_matches=False,
+    )
+    if out.filter(F.col("ts_r") >= F.col("ts")).count() != 0:
+        raise AssertionError("strict as-of matched an at-or-after right row")
+    bkt_l = F.floor(F.col("ts").cast("timestamp").cast("double") / width)
+    bkt_r = F.floor(F.col("ts_r").cast("timestamp").cast("double") / width)
+    n_match = out.filter(F.col("ts_r").isNotNull())
+    if n_match.count() == 0:
+        raise AssertionError("degenerate fixture: no strict match at all")
+    if n_match.filter(bkt_l != bkt_r).count() == 0:
+        raise AssertionError("no match crossed a bucket boundary: carry untested")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("ts_r").alias("prev_ts_epoch"),
+        F.col("prev_click_id_r").alias("prev_click_id"),
+    )
+
+
+ASOF_JOIN_STRICT_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+prev AS (
+  SELECT user_id, ts, max(event_id) AS prev_click_id
+  FROM clicks GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS prev_ts_epoch,
+       p.prev_click_id AS prev_click_id
+FROM clicks c ASOF LEFT JOIN prev p
+  ON c.user_id = p.user_id AND c.ts > p.ts
+"""
+
+
 def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 7: NEAREST as-of join (pandas ``merge_asof`` semantics) —
     each click picks the temporally CLOSEST view of the same user,
@@ -3303,3 +3421,70 @@ SELECT user_id, bucket, cnt,
        gap_filled
 FROM j
 """
+
+
+def q_gapfill_locf_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: the HOT-GROUP gapfill form
+    (`operators/rollup.py::gapfill_locf_salted`) — the same per-user
+    6-hour grid as `gapfill_locf`, but the LOCF window runs per
+    (user, 32-bucket chunk) with a cross-chunk carry, the recipe for a
+    group whose bucket range exceeds one core's share. Row-identical
+    to the plain form, so it shares the DuckDB oracle. Self-gated: the
+    chunking must actually split the grid (>1 chunk in the plan's
+    window key) and some gap must fill ACROSS a chunk boundary from
+    the carry (a filled gap in a chunk with no earlier observation in
+    that same chunk)."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.rollup import (
+        gapfill_locf_salted,
+        time_bucket,
+    )
+
+    chunk = 32  # 121 6-hour buckets -> 4 chunks
+    ev = _t(spark, sf_dir, "events").filter("user_id % 37 = 5")
+    src = ev.groupBy(
+        "user_id", time_bucket("ts", _GAPFILL_STEP).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = gapfill_locf_salted(
+        src, ["user_id"], "bucket", ["cnt"],
+        start=_GAPFILL_START, end=_GAPFILL_END, step=_GAPFILL_STEP,
+        chunk_buckets=chunk,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "_chunk" not in plan:
+        raise AssertionError("LOCF window is not chunk-partitioned")
+    step_i = F.round(
+        (F.col("bucket") - F.lit(float(_GAPFILL_START))) / F.lit(float(_GAPFILL_STEP))
+    ).cast("bigint")
+    chunked = out.withColumn("_c", (step_i / chunk).cast("bigint")).withColumn(
+        "_i", step_i
+    )
+    w_obs = Window.partitionBy("user_id", "_c").orderBy("_i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carry_fills = (
+        chunked.withColumn(
+            "_seen_obs",
+            F.max(F.when(~F.col("gap_filled"), F.lit(1)).otherwise(F.lit(0))).over(
+                w_obs
+            ),
+        )
+        .filter(
+            F.col("gap_filled")
+            & F.col("cnt_filled").isNotNull()
+            & (F.col("_seen_obs") == 0)
+        )
+        .count()
+    )
+    if carry_fills == 0:
+        raise AssertionError("no gap filled across a chunk boundary: carry untested")
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "cnt",
+        "cnt_filled",
+        "gap_filled",
+    )
+
+
+GAPFILL_LOCF_SALTED_SQL = GAPFILL_LOCF_SQL
