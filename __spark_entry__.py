@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 8: never driver-checked yet ---
         "asof_join_strict": QP.q_asof_join_strict,
         "gapfill_locf_salted": QP.q_gapfill_locf_salted,
+        "rollup_refresh_changelog": QP.q_rollup_refresh_changelog,
         # --- newly oracle-backed this round (rows-only in r7) ---
         "lsh_ann_topk": QP.q_lsh_ann_topk,
         "multimodal_features": QP.q_multimodal_features,
@@ -58,7 +59,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hist": QP.q_rollup_hist,
         "rollup_refresh": QP.q_rollup_refresh,
         "rollup_refresh_maintain": QP.q_rollup_refresh_maintain,
-        "asof_join_salted": QP.q_asof_join_salted,
         # --- round-8 rotation: the 40 keys whose last driver proof is
         # --- CORRECTNESS_r06 come next, so every query's driver proof
         # --- stays at most two rounds old ---
@@ -103,7 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename_evolution_scan": QP.q_rename_evolution_scan,
         "type_evolution_scan": QP.q_type_evolution_scan,
         # --- tail: proven green in CORRECTNESS_r07 and replica-checked
-        # --- every round by tests/test_oracle_parity.py ---
+        # --- every round by tests/test_oracle_parity.py (the salted
+        # --- as-of's default path is byte-identical to its r7 form) ---
+        "asof_join_salted": QP.q_asof_join_salted,
         "asof_join_nearest": QP.q_asof_join_nearest,
         "delete_where_roundtrip": QP.q_delete_where_roundtrip,
         "merge_into_roundtrip": QP.q_merge_into_roundtrip,
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "asof_join_strict": QP.ASOF_JOIN_STRICT_SQL,
         "gapfill_locf_salted": QP.GAPFILL_LOCF_SALTED_SQL,
+        "rollup_refresh_changelog": QP.ROLLUP_REFRESH_CHANGELOG_SQL,
         "lsh_ann_topk": QP.LSH_ANN_TOPK_SQL,
         "multimodal_features": QP.MULTIMODAL_FEATURES_SQL,
         "cdc_replicate": QP.CDC_REPLICATE_SQL,

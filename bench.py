@@ -73,6 +73,7 @@ HEADLINE = [
     "asof_join_salted",  # round 8: hot-key as-of, carry path
     "asof_join_strict",  # round 8: strict tie order through the salted form
     "gapfill_locf_salted",  # round 8: chunked LOCF + cross-chunk carry
+    "rollup_refresh_changelog",  # round 8: signed-changelog rollup fold
 ]
 
 #: ops whose per-rep numbers land in BENCH_HISTORY.jsonl (kind=ops) so
@@ -91,6 +92,7 @@ HISTORY_OPS = [
     "cdc_replicate",
     "asof_join_nearest",
     "asof_join_salted",
+    "rollup_refresh_changelog",
 ]
 
 

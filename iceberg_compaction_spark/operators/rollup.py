@@ -25,15 +25,22 @@ the source's snapshot ancestry. Append commits contribute their added
 files to the delta. Row-set-preserving rewrites (``replace`` /
 ``maintenance`` / ``rewrite_manifests`` — compaction, delete-file
 cleanup, manifest rewrite) are folded AROUND: their outputs re-add
-rows the rollup already counted, so they are skipped — unless the
-rewrite consumed a file appended inside the window (its uncounted
-rows now live only in mixed outputs), in which case the refresh falls
-back to one full recompute. Row-set-CHANGING commits (merge / delete /
-update / rollback / expire_data) always recompute — the materialized
-view then reflects the current table, which is the only consistent
-answer once rows were removed or rewritten in place. Either way the
-refresh converges without manual ordering between ingest and
-maintenance.
+rows the rollup already counted, so they are skipped. Row-set-CHANGING
+commits (merge / delete / update / rollback / expire_data) — and
+rewrites that consumed a file appended inside the window — cannot be
+folded file-wise; for them the refresh goes CHANGELOG-INCREMENTAL
+(round 8) when every aggregate is INVERTIBLE (count / sum / hist —
+sum-mergeable states that also subtract) and a count state exists to
+detect dead groups: the row-level changelog over the window is folded
+with sign (+insert / −delete), groups whose count reaches zero are
+dropped, and the result is exactly the recompute's state — rollups
+now stay incremental through MERGE and DELETE WHERE. Non-invertible
+states (min / max / hll), an unwalkable window, or more row-set-
+changing commits than ``max_changelog_commits`` (each may cost a
+parent-snapshot scan in the changelog — past a few, one recompute
+scan is cheaper) fall back to one full recompute, pinned to the
+anchor snapshot. Either way the refresh converges without manual
+ordering between ingest and maintenance.
 
 Reference contrast: the reference engine has no aggregate maintenance
 at all (crates/ stop at file-level table services); this is the §2.12
@@ -157,6 +164,58 @@ def time_bucket(col, width_s: float):
     )
 
 
+def _gapfill_frames(df, group_cols, bucket_col, start, end, step):
+    """Shared by the plain and salted gapfill forms: validate the
+    range, build the step-indexed per-group grid (map-side
+    ``F.sequence`` + ``explode``, never a driver loop), and project
+    the source onto INTEGER step indices — not double equality of the
+    bucket value: for a non-integral step the grid's ``lo + i*step``
+    and the caller's ``floor(sec/step)*step`` can differ by one ulp,
+    which would silently flag every observed bucket as a gap. Rows
+    whose bucket is not grid-aligned (beyond ulp tolerance) never
+    matched under double equality either — they stay excluded.
+    Returns (groups, grid, src, n_steps)."""
+    if step <= 0 or end < start:
+        raise ValueError(f"bad gapfill range [{start}, {end}] step {step}")
+    lo = float(start) - (float(start) % float(step))
+    n_steps = int((float(end) - lo) // float(step))
+    if n_steps > 1_000_000:
+        # the grid is |groups| × (n_steps+1) rows: a mistyped step
+        # would silently explode it — same refuse-don't-explode rule
+        # as the range join's max_bins_per_interval guard
+        raise ValueError(
+            f"gapfill grid would have {n_steps + 1} buckets per group "
+            "(> 1e6); widen step or narrow the range"
+        )
+    groups = df.select(*group_cols).distinct()
+    grid = groups.select(
+        *group_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_steps))).alias("_step_i"),
+    ).select(
+        *group_cols,
+        F.col("_step_i"),
+        (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
+        .cast("double")
+        .alias(bucket_col),
+    )
+    src_i = F.round((F.col(bucket_col) - F.lit(lo)) / F.lit(float(step))).cast(
+        "bigint"
+    )
+    src = (
+        df.withColumn("_step_i", src_i)
+        .filter(
+            F.abs(
+                F.col(bucket_col)
+                - (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
+            )
+            <= F.lit(float(step) * 1e-9)
+        )
+        .drop(bucket_col)
+        .withColumn("_observed", F.lit(1))
+    )
+    return groups, grid, src, n_steps
+
+
 def gapfill_locf(
     df,
     group_cols: list[str],
@@ -179,59 +238,12 @@ def gapfill_locf(
     is one running last-ignorenulls window per group — O(1) window
     state, same single-shuffle discipline as the as-of join. Buckets
     per group are bounded by (end-start)/step, which the CALLER fixes
-    independently of data volume; a hot group is the usual per-key
-    window seam (split the range and union for a pathological one)."""
-    if step <= 0 or end < start:
-        raise ValueError(f"bad gapfill range [{start}, {end}] step {step}")
+    independently of data volume; a hot group is
+    ``gapfill_locf_salted``'s job."""
     from pyspark.sql import Window
 
-    lo = float(start) - (float(start) % float(step))
-    # sequence() is integral-only: generate step indices and compute
-    # the epoch bucket arithmetically (still map-side, no driver loop)
-    n_steps = int((float(end) - lo) // float(step))
-    if n_steps > 1_000_000:
-        # the grid is |groups| × (n_steps+1) rows: a mistyped step
-        # would silently explode it — same refuse-don't-explode rule
-        # as the range join's max_bins_per_interval guard
-        raise ValueError(
-            f"gapfill grid would have {n_steps + 1} buckets per group "
-            "(> 1e6); widen step or narrow the range"
-        )
-    grid = (
-        df.select(*group_cols)
-        .distinct()
-        .select(
-            *group_cols,
-            F.explode(F.sequence(F.lit(0), F.lit(n_steps))).alias("_step_i"),
-        )
-        .select(
-            *group_cols,
-            F.col("_step_i"),
-            (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
-            .cast("double")
-            .alias(bucket_col),
-        )
-    )
-    # join on the INTEGER step index, not double equality of the bucket
-    # value: for a non-integral step the grid's ``lo + i*step`` and the
-    # caller's ``floor(sec/step)*step`` can differ by one ulp, which
-    # would silently flag every observed bucket as a gap. Rows whose
-    # bucket is not grid-aligned (beyond ulp tolerance) never matched
-    # under double equality either — keep excluding them.
-    src_i = F.round((F.col(bucket_col) - F.lit(lo)) / F.lit(float(step))).cast(
-        "bigint"
-    )
-    src = (
-        df.withColumn("_step_i", src_i)
-        .filter(
-            F.abs(
-                F.col(bucket_col)
-                - (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
-            )
-            <= F.lit(float(step) * 1e-9)
-        )
-        .drop(bucket_col)
-        .withColumn("_observed", F.lit(1))
+    _, grid, src, _ = _gapfill_frames(
+        df, group_cols, bucket_col, start, end, step
     )
     joined = grid.join(src, [*group_cols, "_step_i"], "left")
     w = (
@@ -280,51 +292,17 @@ def gapfill_locf_salted(
 
     Row-identical to ``gapfill_locf`` (pinned by an equivalence test);
     same guards, same output schema."""
-    if step <= 0 or end < start:
-        raise ValueError(f"bad gapfill range [{start}, {end}] step {step}")
     if chunk_buckets < 1:
         raise ValueError(f"chunk_buckets must be >= 1, got {chunk_buckets}")
     from pyspark.sql import Window
 
-    lo = float(start) - (float(start) % float(step))
-    n_steps = int((float(end) - lo) // float(step))
-    if n_steps > 1_000_000:
-        raise ValueError(
-            f"gapfill grid would have {n_steps + 1} buckets per group "
-            "(> 1e6); widen step or narrow the range"
-        )
+    groups, grid, src, n_steps = _gapfill_frames(
+        df, group_cols, bucket_col, start, end, step
+    )
     n_chunks = n_steps // chunk_buckets
-    groups = df.select(*group_cols).distinct()
-    grid = groups.select(
-        *group_cols,
-        F.explode(F.sequence(F.lit(0), F.lit(n_steps))).alias("_step_i"),
-    ).select(
-        *group_cols,
-        F.col("_step_i"),
-        (F.col("_step_i") / F.lit(int(chunk_buckets))).cast("bigint").alias("_chunk"),
-        (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
-        .cast("double")
-        .alias(bucket_col),
-    )
-    src_i = F.round((F.col(bucket_col) - F.lit(lo)) / F.lit(float(step))).cast(
-        "bigint"
-    )
-    src = (
-        df.withColumn("_step_i", src_i)
-        .filter(
-            F.abs(
-                F.col(bucket_col)
-                - (F.lit(lo) + F.col("_step_i") * F.lit(float(step)))
-            )
-            <= F.lit(float(step) * 1e-9)
-        )
-        .drop(bucket_col)
-        .withColumn("_observed", F.lit(1))
-        .withColumn(
-            "_chunk",
-            (F.col("_step_i") / F.lit(int(chunk_buckets))).cast("bigint"),
-        )
-    )
+    chunk_of = (F.col("_step_i") / F.lit(int(chunk_buckets))).cast("bigint")
+    grid = grid.withColumn("_chunk", chunk_of)
+    src = src.withColumn("_chunk", chunk_of)
     # stage 2: per-(group, chunk) last observed value per column (max
     # over (step, value) structs skips NULL values like the window's
     # ignorenulls), then the cumulative carry over STRICTLY earlier
@@ -420,12 +398,26 @@ def refresh_rollup(
     rollup: Table,
     group_by: list[str],
     aggs: dict[str, tuple[str, str]],
+    changelog_deltas: bool = True,
+    max_changelog_commits: int = 8,
 ) -> dict:
     """Fold source rows appended since the last refresh into the
     rollup. ``aggs``: out_col -> (fn, src_col). Returns {delta_rows,
     from_snapshot, to_snapshot, mode} with mode in
-    ``noop | incremental | recompute``; a no-op refresh commits
-    nothing."""
+    ``noop | incremental | incremental_changelog | recompute``; a
+    no-op refresh commits nothing.
+
+    ``changelog_deltas`` (default on): when the window holds row-set-
+    changing commits (MERGE / DELETE WHERE / …) or a rewrite that
+    consumed an in-window append, and every aggregate is INVERTIBLE
+    (count / sum / hist) with at least one ``count`` state present,
+    the refresh folds the row-level changelog with sign instead of
+    recomputing — ``mode="incremental_changelog"``, O(changed rows +
+    delete-commit scope) instead of O(table). Groups whose count
+    reaches zero are dropped, matching the recompute exactly.
+    ``max_changelog_commits`` caps the row-set-changing commits walked
+    this way (each can cost a parent-scoped scan inside the changelog;
+    past a few, one recompute scan is cheaper)."""
     for out, spec in aggs.items():
         if spec[0] not in _SUPPORTED:
             raise ValueError(
@@ -450,35 +442,56 @@ def refresh_rollup(
 
     # classify the window by ancestry: appends feed the delta;
     # row-set-preserving rewrites are skipped (outputs re-add counted
-    # rows) unless they consumed a pending in-window append; anything
-    # else (or an unreadable window) forces a recompute
+    # rows). A rewrite that consumed a pending in-window append or any
+    # row-set-changing commit breaks the file-level delta — those
+    # windows go changelog-incremental when the aggregates allow it,
+    # else recompute (an unreadable window always recomputes).
     mode = "incremental"
     pending: dict[str, dict] = {}  # path -> manifest row, appended + uncounted
+    n_changeful = 0
     chain = _window_chain(src, last, cur)
     if chain is None:
         mode = "recompute"
-    else:
-        for snap in chain:
-            op = snap.get("operation") or "append"
-            sid, parent = snap["snapshot_id"], snap.get("parent_id")
-            if op == "append":
-                for r in src.added_files_between(parent, sid):
-                    pending[r["path"]] = r
-            elif op in _ROWSET_PRESERVING:
-                after = {
-                    r["path"]
-                    for r in src.manifest(sid)
-                    if r["content"] == mf.CONTENT_DATA
-                }
-                consumed = [p for p in pending if p not in after]
-                if consumed:
-                    # a not-yet-counted append was rewritten into mixed
-                    # outputs: no file-level delta exists any more
-                    mode = "recompute"
-                    break
-            else:  # merge / delete / update / rollback / expire_data …
-                mode = "recompute"
-                break
+        chain = []
+    for snap in chain:
+        op = snap.get("operation") or "append"
+        sid, parent = snap["snapshot_id"], snap.get("parent_id")
+        if op == "append":
+            for r in src.added_files_between(parent, sid):
+                pending[r["path"]] = r
+        elif op in _ROWSET_PRESERVING:
+            after = {
+                r["path"]
+                for r in src.manifest(sid)
+                if r["content"] == mf.CONTENT_DATA
+            }
+            if any(p not in after for p in pending):
+                # a not-yet-counted append was rewritten into mixed
+                # outputs: no FILE-level delta exists any more (the
+                # row-level changelog is layout-invariant and still
+                # exact — physical files persist until expiry)
+                mode = "fallback"
+        else:  # merge / delete / update / rollback / expire_data …
+            mode = "fallback"
+            n_changeful += 1
+
+    if mode == "fallback":
+        # invertible-state gate: count/sum/hist states subtract exactly
+        # and a count column detects groups whose last row disappeared
+        invertible = all(spec[0] in ("count", "sum", "hist") for spec in aggs.values())
+        has_count = any(spec[0] == "count" for spec in aggs.values())
+        mode = (
+            "incremental_changelog"
+            if (
+                changelog_deltas
+                and invertible
+                and has_count
+                and last is not None
+                and rollup.files(content="data")
+                and n_changeful <= max_changelog_commits
+            )
+            else "recompute"
+        )
 
     if mode == "incremental":
         live = [r for r in pending.values() if r.get("record_count", 1)]
@@ -492,13 +505,25 @@ def refresh_rollup(
                 "mode": "incremental",
             }
         delta = src.read_data_rows(spark, live).select(*cols)
+    elif mode == "incremental_changelog":
+        from iceberg_compaction_spark.operators.changelog import (
+            CHANGE_TYPE_COL,
+            changelog_scan,
+        )
+
+        sign = F.when(
+            F.col(CHANGE_TYPE_COL) == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = changelog_scan(spark, src, last, cur, columns=cols).select(
+            *cols, sign.alias("_sign")
+        )
     else:
         # PINNED to ``cur``: a commit landing between the anchor capture
         # above and this scan must not be folded in — the anchor records
         # only ``cur``, so the next refresh would fold those rows again
         delta = src.scan(spark, snapshot_id=cur, columns=cols)
 
-    def _exprs(src_is_state: bool):
+    def _exprs(src_is_state: bool, signed: bool = False):
         out = []
         for name, spec in aggs.items():
             fn, c = spec[0], spec[1]
@@ -507,6 +532,8 @@ def refresh_rollup(
                 # state (unlike percentile_approx, whose sketch Spark
                 # does not expose for re-aggregation). Out-of-range
                 # values clamp into the edge bins; NULLs don't count.
+                # Signed (changelog) folds add the row's _sign instead
+                # of 1 — a delete decrements its bin exactly.
                 lo, width, nbins = spec[2]
                 if src_is_state:
                     out.append(
@@ -527,11 +554,12 @@ def refresh_rollup(
                             ).cast("int"),
                         ),
                     )
+                    one = F.col("_sign") if signed else F.lit(1)
                     out.append(
                         F.array(
                             *[
                                 F.sum(
-                                    F.when(idx == i, F.lit(1)).otherwise(F.lit(0))
+                                    F.when(idx == i, one).otherwise(F.lit(0))
                                 ).cast("long")
                                 for i in range(nbins)
                             ]
@@ -539,7 +567,15 @@ def refresh_rollup(
                     )
             elif fn == "count":
                 out.append(
-                    (F.sum(name) if src_is_state else F.count(F.lit(1))).alias(name)
+                    (
+                        F.sum(name)
+                        if src_is_state
+                        else (
+                            F.sum("_sign").cast("long")
+                            if signed
+                            else F.count(F.lit(1))
+                        )
+                    ).alias(name)
                 )
             elif fn == "hll":
                 # mergeable sketch state: build on raw rows, union on
@@ -556,17 +592,23 @@ def refresh_rollup(
                         else F.hll_sketch_agg(F.col(c).cast("string"))
                     ).alias(name)
                 )
+            elif fn == "sum" and signed and not src_is_state:
+                out.append(F.sum(F.col(c) * F.col("_sign")).alias(name))
             else:
                 agg = {"sum": F.sum, "min": F.min, "max": F.max}[fn]
                 out.append(agg(name if src_is_state else c).alias(name))
         return out
 
-    # ONE pass over the appended files: the |groups|-sized partial is
-    # persisted, delta_rows comes from its count state, and the merge
-    # write reads the cache — never a second scan of the delta
+    # ONE pass over the delta (appended files, or the signed changelog):
+    # the |groups|-sized partial is persisted, delta_rows comes from its
+    # count state, and the merge write reads the cache — never a second
+    # scan of the delta
     partial = (
         delta.groupBy(*group_by)
-        .agg(*_exprs(False), F.count(F.lit(1)).alias("__delta_cnt"))
+        .agg(
+            *_exprs(False, signed=mode == "incremental_changelog"),
+            F.count(F.lit(1)).alias("__delta_cnt"),
+        )
         .persist()
     )
     try:
@@ -574,7 +616,16 @@ def refresh_rollup(
             partial.agg(F.sum("__delta_cnt")).collect()[0][0] or 0
         )
         partial = partial.drop("__delta_cnt")
-        if mode == "incremental":
+        if mode == "incremental_changelog" and delta_rows == 0:
+            # the window's commits netted to zero row changes (e.g. a
+            # DELETE WHERE that matched nothing): advance the anchor
+            # without rewriting identical state
+            rollup.set_property(_ANCHOR_PROP, int(cur))
+            return {
+                "delta_rows": 0, "from_snapshot": last, "to_snapshot": cur,
+                "mode": mode,
+            }
+        if mode in ("incremental", "incremental_changelog"):
             existing = (
                 rollup.scan(spark)
                 if rollup.files(content="data")
@@ -586,6 +637,14 @@ def refresh_rollup(
                 .groupBy(*group_by)
                 .agg(*_exprs(True))
             )
+            if mode == "incremental_changelog":
+                # a group whose last row was deleted must leave the
+                # rollup (exactly what a recompute would produce) —
+                # the count state is the liveness witness
+                cnt_col = next(
+                    name for name, spec in aggs.items() if spec[0] == "count"
+                )
+                merged = merged.filter(F.col(cnt_col) > 0)
         else:
             merged = partial  # recompute IS the new state
         infos = rollup.write_data_files(merged)

@@ -2886,6 +2886,102 @@ FROM events GROUP BY event_type
 """
 
 
+def q_rollup_refresh_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: CHANGELOG-INCREMENTAL rollup refresh
+    (`operators/rollup.py::refresh_rollup` with invertible states) —
+    a DELETE WHERE + a MERGE land on the source after the first
+    refresh; with count/sum/hist aggregates the second refresh folds
+    the signed row-level changelog instead of recomputing (round 7
+    recomputed on ANY row-set change). Deletes decrement the count,
+    the sum, and the histogram bins exactly. Self-gated: the second
+    refresh's mode must be incremental_changelog with a bounded
+    nonzero delta; the relation is the rollup state (hist exploded),
+    which the oracle recomputes from the source operations alone."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.operators.rollup import refresh_rollup
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_rollc_")
+    try:
+        ev_ddl = (
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        aggs = {
+            "cnt": ("count", ""),
+            "sv": ("sum", "value"),
+            "h": ("hist", "value", (0.0, 25.0, 16)),
+        }
+        ev = _t(spark, sf_dir, "events")
+        n_total = ev.count()
+        with benchphase.phase("build"):
+            src = Table.create(os.path.join(tdir, "src"), ev_ddl)
+            roll = Table.create(
+                os.path.join(tdir, "roll"),
+                "event_type STRING, cnt BIGINT, sv DOUBLE, h ARRAY<BIGINT>",
+            )
+            src.append_dataframe(ev.select(cols))
+        r1 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
+        if r1["mode"] != "incremental":
+            raise AssertionError(f"first refresh not incremental: {r1}")
+        with benchphase.phase("build"):  # source churn is the scenario
+            # fixture; the measured op is the changelog-delta refresh
+            delete_where(spark, src, "value < 10.0")
+            merge_into(
+                src,
+                ev.filter("event_id % 100 = 0")
+                .withColumn("value", F.col("value") + 1000.0)
+                .select(cols),
+                ["event_id"],
+            )
+        r2 = refresh_rollup(spark, src, roll, ["event_type"], aggs)
+        if r2["mode"] != "incremental_changelog":
+            raise AssertionError(f"refresh did not fold the changelog: {r2}")
+        if not (0 < r2["delta_rows"] < 3 * n_total):
+            raise AssertionError(f"unreasonable changelog delta: {r2}")
+        out = roll.scan(spark).select(
+            "event_type",
+            "cnt",
+            F.round("sv", 3).alias("sv_r"),
+            F.posexplode("h").alias("bin", "bin_cnt"),
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(os.path.join(tdir, "src"), ignore_errors=True)
+        shutil.rmtree(os.path.join(tdir, "roll"), ignore_errors=True)
+
+
+ROLLUP_REFRESH_CHANGELOG_SQL = """
+WITH cur AS (
+  SELECT event_type,
+         CASE WHEN event_id % 100 = 0 THEN value + 1000.0 ELSE value END AS v
+  FROM events
+  WHERE value >= 10.0 OR event_id % 100 = 0),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, ROUND(SUM(v), 3) AS sv_r
+  FROM cur GROUP BY event_type),
+binned AS (
+  SELECT event_type, least(15, greatest(0, CAST(floor(v / 25.0) AS INTEGER))) AS b
+  FROM cur WHERE v IS NOT NULL),
+bins AS (
+  SELECT a.event_type, g.b
+  FROM (SELECT DISTINCT event_type FROM cur) a, generate_series(0, 15) AS g(b))
+SELECT agg.event_type, agg.cnt, agg.sv_r,
+       CAST(bins.b AS INTEGER) AS bin,
+       CAST(count(binned.b) AS BIGINT) AS bin_cnt
+FROM bins
+JOIN agg ON agg.event_type = bins.event_type
+LEFT JOIN binned
+  ON binned.event_type = bins.event_type AND binned.b = bins.b
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 6: FORWARD as-of join — each click picks up the EARLIEST
     at-or-after purchase of the same user (`operators/asof.py`

@@ -328,3 +328,157 @@ def test_refresh_rollup_fuzz_interleavings(spark, tmp_warehouse):
         refresh_rollup(spark, src, roll, ["k"], AGGS)
         if appended:
             assert _state(roll, spark) == _full(spark, appended)
+
+
+# ---------------------------------------------------------------------------
+# round 8: changelog-incremental refresh through row-set-changing commits
+
+INV_SRC_DDL = "id BIGINT, k BIGINT, v DOUBLE"
+INV_ROLLUP_DDL = "k BIGINT, cnt BIGINT, sv DOUBLE, h ARRAY<BIGINT>"
+INV_AGGS = {
+    "cnt": ("count", ""),
+    "sv": ("sum", "v"),
+    "h": ("hist", "v", (0.0, 10.0, 4)),
+}
+
+
+def _inv_state(rollup, spark):
+    return {
+        r["k"]: (r["cnt"], round(r["sv"], 6), tuple(r["h"]))
+        for r in rollup.scan(spark).collect()
+    }
+
+
+def _inv_full(spark, rows):
+    out: dict = {}
+    for _id, k, v in rows:
+        cnt, sv, h = out.get(k, (0, 0.0, [0, 0, 0, 0]))
+        b = min(3, max(0, int(v // 10.0)))
+        h = list(h)
+        h[b] += 1
+        out[k] = (cnt + 1, sv + v, h)
+    return {k: (c, round(s, 6), tuple(h)) for k, (c, s, h) in out.items()}
+
+
+def test_refresh_changelog_incremental_through_delete_and_merge(
+    spark, tmp_warehouse
+):
+    """Round 8: with invertible aggregates (count/sum/hist), a window
+    holding DELETE WHERE + MERGE commits refreshes via the signed
+    changelog — mode incremental_changelog, never a recompute — and
+    the state equals a from-scratch fold of the surviving rows."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    src = Table.create(os.path.join(tmp_warehouse, "csrc"), INV_SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "croll"), INV_ROLLUP_DDL)
+    rows = [(i, i % 3, float(i)) for i in range(30)]
+    src.append_dataframe(spark.createDataFrame(rows, INV_SRC_DDL).coalesce(1))
+    r1 = refresh_rollup(spark, src, roll, ["k"], INV_AGGS)
+    assert r1["mode"] == "incremental"
+
+    delete_where(spark, src, "v >= 20.0")
+    upd = [(i, i % 3, float(i) + 100.0) for i in range(0, 30, 7)]
+    merge_into(src, spark.createDataFrame(upd, INV_SRC_DDL), ["id"])
+    r2 = refresh_rollup(spark, src, roll, ["k"], INV_AGGS)
+    assert r2["mode"] == "incremental_changelog", r2
+    assert r2["delta_rows"] > 0
+    want = {(i, i % 3, float(i)) for i in range(30) if i < 20}
+    want = {t for t in want if t[0] % 7 != 0} | {
+        (i, i % 3, float(i) + 100.0) for i in range(0, 30, 7)
+    }
+    assert _inv_state(roll, spark) == _inv_full(spark, sorted(want))
+    # replay: anchor advanced, nothing to do
+    assert refresh_rollup(spark, src, roll, ["k"], INV_AGGS)["mode"] == "noop"
+
+
+def test_refresh_changelog_drops_dead_groups(spark, tmp_warehouse):
+    """A group whose LAST row was deleted must leave the rollup —
+    exactly what a recompute would produce (the count state is the
+    liveness witness)."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+
+    src = Table.create(os.path.join(tmp_warehouse, "dsrc"), INV_SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "droll"), INV_ROLLUP_DDL)
+    rows = [(i, i % 3, float(i)) for i in range(12)]
+    src.append_dataframe(spark.createDataFrame(rows, INV_SRC_DDL).coalesce(1))
+    refresh_rollup(spark, src, roll, ["k"], INV_AGGS)
+    delete_where(spark, src, "k = 2")
+    r = refresh_rollup(spark, src, roll, ["k"], INV_AGGS)
+    assert r["mode"] == "incremental_changelog"
+    state = _inv_state(roll, spark)
+    assert 2 not in state and set(state) == {0, 1}
+    assert state == _inv_full(spark, [t for t in rows if t[1] != 2])
+
+
+def test_refresh_changelog_covers_consumed_pending_append(spark, tmp_warehouse):
+    """The round-7 consumed-pending seam (a compaction rewrote an
+    uncounted in-window append) recomputed unconditionally; with
+    invertible aggregates it now folds the changelog instead — the
+    changelog is layout-invariant, so the rewrite costs nothing."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    src = Table.create(os.path.join(tmp_warehouse, "psrc"), INV_SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "proll"), INV_ROLLUP_DDL)
+    a1 = [(i, i % 3, float(i)) for i in range(10)]
+    src.append_dataframe(spark.createDataFrame(a1, INV_SRC_DDL).coalesce(1))
+    refresh_rollup(spark, src, roll, ["k"], INV_AGGS)
+    a2 = [(100 + i, i % 3, 5.0) for i in range(5)]
+    src.append_dataframe(spark.createDataFrame(a2, INV_SRC_DDL).coalesce(1))
+    CompactionRunner(
+        spark,
+        src,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.SINGLE,
+            sort_order=(("id", False),),
+        ),
+    ).execute()
+    r = refresh_rollup(spark, src, roll, ["k"], INV_AGGS)
+    assert r["mode"] == "incremental_changelog"
+    assert r["delta_rows"] == 5  # only the uncounted append's rows
+    assert _inv_state(roll, spark) == _inv_full(spark, a1 + a2)
+
+
+def test_refresh_changelog_gates(spark, tmp_warehouse):
+    """The changelog path must NOT engage for non-invertible states
+    (min/max — AGGS), when disabled, when no count state exists, or
+    past the row-set-changing commit cap — each falls back to the
+    pinned recompute with identical results."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+
+    for name, aggs, kw in (
+        ("g1", AGGS, {}),  # min/max present
+        ("g2", INV_AGGS, {"changelog_deltas": False}),
+        ("g3", {"sv": ("sum", "v")}, {}),  # no count state
+        ("g4", INV_AGGS, {"max_changelog_commits": 0}),
+    ):
+        ddl = SRC_DDL if aggs is AGGS else INV_SRC_DDL
+        rows = (
+            [(i % 3, float(i)) for i in range(12)]
+            if aggs is AGGS
+            else [(i, i % 3, float(i)) for i in range(12)]
+        )
+        src = Table.create(os.path.join(tmp_warehouse, f"{name}s"), ddl)
+        rddl = {
+            id(AGGS): ROLLUP_DDL,
+            id(INV_AGGS): INV_ROLLUP_DDL,
+        }.get(id(aggs), "k BIGINT, sv DOUBLE")
+        roll = Table.create(os.path.join(tmp_warehouse, f"{name}r"), rddl)
+        src.append_dataframe(spark.createDataFrame(rows, ddl).coalesce(1))
+        refresh_rollup(spark, src, roll, ["k"], aggs, **kw)
+        delete_where(spark, src, "v >= 6.0")
+        r = refresh_rollup(spark, src, roll, ["k"], aggs, **kw)
+        assert r["mode"] == "recompute", (name, r)
+        got = {row["k"]: round(row["sv"], 6) for row in roll.scan(spark).collect()}
+        want: dict = {}
+        for t in rows:
+            k, v = (t[0], t[1]) if aggs is AGGS else (t[1], t[2])
+            if v < 6.0:
+                want[k] = round(want.get(k, 0.0) + v, 6)
+        assert got == want, name
