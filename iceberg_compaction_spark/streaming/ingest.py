@@ -336,6 +336,53 @@ def stream_replicate(
     return writer.start()
 
 
+def stream_rollup(
+    spark,
+    src: Table,
+    rollup: Table,
+    group_by,
+    aggs: dict,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Continuous materialized-rollup maintenance — ``stream_replicate``
+    for aggregates: an ``icemaint`` readStream on the SOURCE is used
+    purely as a change TRIGGER; each micro-batch invokes
+    ``operators/rollup.refresh_rollup``, which reads its own exact
+    window (appended files, or the signed changelog for row-set
+    changes) behind the crash-safe committed anchor. Batch rows are
+    never consumed, so replay / reorder / missed triggers can neither
+    double-fold nor skip — every refresh converges the rollup to the
+    source's current snapshot.
+
+    Returns the StreamingQuery. Default trigger is ``availableNow``
+    (drain pending changes and stop); pass e.g.
+    ``{"processingTime": "30 seconds"}`` for continuous tailing."""
+    from iceberg_compaction_spark.operators.rollup import refresh_rollup
+    from iceberg_compaction_spark.sources.datasource import register
+
+    register(spark)
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+
+    def refresh_batch(batch_df, batch_id: int) -> None:
+        # rows ignored: refresh_rollup pulls the exact window itself
+        refresh_rollup(batch_df.sparkSession, src, rollup, group_by, aggs)
+
+    stream = (
+        spark.readStream.format("icemaint")
+        .option("path", src.location)
+        .option("starting_snapshot_id", "earliest")
+        .load()
+    )
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(refresh_batch)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def stream_enrich_asof(
     stream_df: DataFrame,
     dim_table: Table,

@@ -482,3 +482,66 @@ def test_refresh_changelog_gates(spark, tmp_warehouse):
             if v < 6.0:
                 want[k] = round(want.get(k, 0.0) + v, 6)
         assert got == want, name
+
+
+def test_rollup_over_cdc_replication_target(spark, tmp_warehouse):
+    """Round-8 composition: a rollup maintained on a CDC REPLICATION
+    TARGET. Applies commit MERGE-shaped snapshots (tombstones + data),
+    so the rollup's refresh goes changelog-incremental — the two
+    round-8 features compose: source churn → apply_changelog → rollup
+    refresh, never a recompute, state always equal to aggregating the
+    source directly."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.operators.replicate import apply_changelog
+
+    src = Table.create(os.path.join(tmp_warehouse, "xsrc"), INV_SRC_DDL)
+    tgt = Table.create(os.path.join(tmp_warehouse, "xtgt"), INV_SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "xroll"), INV_ROLLUP_DDL)
+    rows = [(i, i % 3, float(i)) for i in range(24)]
+    src.append_dataframe(spark.createDataFrame(rows, INV_SRC_DDL).coalesce(1))
+    apply_changelog(spark, src, tgt, ["id"])
+    # the initial load is itself a merge commit, so the FIRST fold
+    # recomputes (changelog deltas need an anchored prior state)
+    r1 = refresh_rollup(spark, tgt, roll, ["k"], INV_AGGS)
+    assert r1["mode"] == "recompute"
+
+    delete_where(spark, src, "v >= 18.0")
+    merge_into(
+        src,
+        spark.createDataFrame([(3, 0, 33.0), (100, 1, 7.5)], INV_SRC_DDL),
+        ["id"],
+    )
+    assert apply_changelog(spark, src, tgt, ["id"])["mode"] == "incremental"
+    r2 = refresh_rollup(spark, tgt, roll, ["k"], INV_AGGS)
+    assert r2["mode"] == "incremental_changelog", r2
+    want = [t for t in rows if t[2] < 18.0 and t[0] != 3]
+    want += [(3, 0, 33.0), (100, 1, 7.5)]
+    assert _inv_state(roll, spark) == _inv_full(spark, want)
+
+
+def test_stream_rollup_tails_source(spark, tmp_warehouse):
+    """Streaming rollup maintenance: the source readStream triggers
+    refreshes; a restart with the same checkpoint continues, and a
+    DELETE on the source (which the append-only stream never surfaces
+    as rows) still reaches the rollup via the changelog fold."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.streaming.ingest import stream_rollup
+
+    src = Table.create(os.path.join(tmp_warehouse, "ssrc"), INV_SRC_DDL)
+    roll = Table.create(os.path.join(tmp_warehouse, "sroll"), INV_ROLLUP_DDL)
+    ckpt = os.path.join(tmp_warehouse, "sckpt")
+    rows = [(i, i % 2, float(i)) for i in range(16)]
+    src.append_dataframe(spark.createDataFrame(rows, INV_SRC_DDL).coalesce(1))
+    q = stream_rollup(spark, src, roll, "k", INV_AGGS, ckpt)
+    q.awaitTermination(120)
+    assert _inv_state(roll, spark) == _inv_full(spark, rows)
+
+    src.append_dataframe(
+        spark.createDataFrame([(100, 0, 5.0)], INV_SRC_DDL).coalesce(1)
+    )
+    delete_where(spark, src, "v >= 12.0")
+    q2 = stream_rollup(spark, src, roll, "k", INV_AGGS, ckpt)  # same ckpt
+    q2.awaitTermination(120)
+    want = [t for t in rows + [(100, 0, 5.0)] if t[2] < 12.0]
+    assert _inv_state(roll, spark) == _inv_full(spark, want)
