@@ -3098,16 +3098,22 @@ def q_asof_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, prev, by="user_id", bucket_width=width,
         direction="backward", allow_exact_matches=False,
     )
-    if out.filter(F.col("ts_r") >= F.col("ts")).count() != 0:
+    # materialize ONCE (the repo's write+reread pattern): the gates and
+    # the returned relation then read parquet instead of re-running the
+    # salted pipeline per count
+    tdir = tempfile.mkdtemp(prefix="icemaint_asofs_")
+    out.write.parquet(os.path.join(tdir, "wide"))
+    w = spark.read.parquet(os.path.join(tdir, "wide"))
+    if w.filter(F.col("ts_r") >= F.col("ts")).count() != 0:
         raise AssertionError("strict as-of matched an at-or-after right row")
     bkt_l = F.floor(F.col("ts").cast("timestamp").cast("double") / width)
     bkt_r = F.floor(F.col("ts_r").cast("timestamp").cast("double") / width)
-    n_match = out.filter(F.col("ts_r").isNotNull())
+    n_match = w.filter(F.col("ts_r").isNotNull())
     if n_match.count() == 0:
         raise AssertionError("degenerate fixture: no strict match at all")
     if n_match.filter(bkt_l != bkt_r).count() == 0:
         raise AssertionError("no match crossed a bucket boundary: carry untested")
-    return out.select(
+    return w.select(
         "event_id",
         "user_id",
         F.unix_timestamp("ts").alias("ts_epoch"),
@@ -3549,6 +3555,11 @@ def q_gapfill_locf_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = out._jdf.queryExecution().executedPlan().toString()
     if "_chunk" not in plan:
         raise AssertionError("LOCF window is not chunk-partitioned")
+    # materialize once; the carry gate and the returned relation read
+    # parquet instead of re-running the chunked fill
+    tdir = tempfile.mkdtemp(prefix="icemaint_gfs_")
+    out.write.parquet(os.path.join(tdir, "out"))
+    out = spark.read.parquet(os.path.join(tdir, "out"))
     step_i = F.round(
         (F.col("bucket") - F.lit(float(_GAPFILL_START))) / F.lit(float(_GAPFILL_STEP))
     ).cast("bigint")
