@@ -46,6 +46,9 @@ from iceberg_compaction_spark.sources.table import Table
 CHANGE_TYPE_COL = "_change_type"
 CHANGE_SNAPSHOT_COL = "_change_snapshot_id"
 
+UPDATE_BEFORE = "update_before"
+UPDATE_AFTER = "update_after"
+
 _NO_CHANGE_OPS = ("replace", "rewrite_manifests", "maintenance")
 
 
@@ -257,6 +260,85 @@ def changelog_scan(
     for f in frames:
         out = out.unionByName(f)
     return out
+
+
+def compute_update_images(
+    changes: DataFrame,
+    keys: list[str],
+    remove_carryovers: bool = True,
+) -> DataFrame:
+    """Refine a raw ``changelog_scan`` stream into the four-type CDC
+    feed downstream consumers expect — Iceberg's
+    ``create_changelog_view`` options (``compute_updates`` +
+    ``remove_carryovers``, SparkChangelogTable semantics), relationally:
+
+      * CARRYOVERS — a delete and an insert of the IDENTICAL full row
+        inside one commit — are rewrite noise (a copy-on-write MERGE
+        re-writes every untouched row of a touched file as such a
+        pair); min(n_inserts, n_deletes) pairs cancel per distinct row
+        content per commit, preserving genuine duplicate multiplicity.
+      * UPDATES — a key with both a delete and an insert in one commit
+        after carryover removal changed value: its delete row becomes
+        ``update_before`` (the old image) and its insert row
+        ``update_after`` (the new image). Pure inserts / deletes keep
+        their types.
+
+    Precondition (Iceberg's too): ``keys`` is a row identity — at most
+    one live row per key per snapshot — so a commit nets at most one
+    delete + one insert per key after carryovers cancel. MERGE /
+    DELETE WHERE / replication commits all satisfy this by
+    construction.
+
+    Scale shape: two change-set-sized shuffles, never a table scan —
+    one group-by on (commit, full row) for carryover cancellation, one
+    window on (commit, key) for pairing. O(changed rows), compaction-
+    invariant like the underlying changelog."""
+    cols = [
+        c for c in changes.columns if c not in (CHANGE_TYPE_COL, CHANGE_SNAPSHOT_COL)
+    ]
+    is_ins = (F.col(CHANGE_TYPE_COL) == "insert").cast("int")
+    out = changes
+    if remove_carryovers:
+        counted = out.groupBy(CHANGE_SNAPSHOT_COL, *cols).agg(
+            F.sum(is_ins).alias("_n_ins"),
+            F.sum(1 - is_ins).alias("_n_del"),
+        )
+        pairs = F.least(F.col("_n_ins"), F.col("_n_del"))
+        kept = counted.select(
+            CHANGE_SNAPSHOT_COL,
+            *cols,
+            (F.col("_n_ins") - pairs).alias("_k_ins"),
+            (F.col("_n_del") - pairs).alias("_k_del"),
+        )
+
+        def _replay(count_col: str, kind: str) -> DataFrame:
+            return (
+                kept.filter(F.col(count_col) > 0)
+                .withColumn(
+                    "_dup", F.explode(F.sequence(F.lit(1), F.col(count_col)))
+                )
+                .withColumn(CHANGE_TYPE_COL, F.lit(kind))
+                .select(*changes.columns)
+            )
+
+        out = _replay("_k_ins", "insert").unionByName(_replay("_k_del", "delete"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(CHANGE_SNAPSHOT_COL, *keys)
+    has_ins = F.max(is_ins).over(w)
+    has_del = F.max(1 - is_ins).over(w)
+    retagged = (
+        F.when(
+            (F.col(CHANGE_TYPE_COL) == "delete") & (has_ins == 1),
+            F.lit(UPDATE_BEFORE),
+        )
+        .when(
+            (F.col(CHANGE_TYPE_COL) == "insert") & (has_del == 1),
+            F.lit(UPDATE_AFTER),
+        )
+        .otherwise(F.col(CHANGE_TYPE_COL))
+    )
+    return out.withColumn(CHANGE_TYPE_COL, retagged).select(*changes.columns)
 
 
 def _group_eq(rows: list[dict]):

@@ -3377,6 +3377,100 @@ def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.join(tdir, "tgt"), ignore_errors=True)
 
 
+def q_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: CDC update pre/post images
+    (`operators/changelog.py::compute_update_images` — Iceberg
+    ``create_changelog_view`` with compute_updates + remove_carryovers):
+    a DELETE WHERE then a COPY-ON-WRITE merge land on the transcripts
+    table; the raw changelog carries one delete+insert pair for every
+    untouched row of every rewritten file (carryovers), which the
+    refinement must cancel, while the genuinely-updated keys pair into
+    update_before/update_after and the appended turns stay inserts.
+    Self-gated: carryovers must exist (raw stream strictly larger than
+    the refined one) and all four change types must be present; the
+    oracle predicts the refined stream from the source operations
+    alone."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.changelog import (
+        UPDATE_AFTER,
+        UPDATE_BEFORE,
+        changelog_scan,
+        compute_update_images,
+    )
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.sources.generator import TRANSCRIPT_DDL
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_cdcu_")
+    loc = os.path.join(tdir, "transcripts")
+    try:
+        with benchphase.phase("build"):  # fixture, not the measured op
+            table = Table.create(loc, TRANSCRIPT_DDL)
+            base = build_transcripts_from_events(spark, sf_dir)
+            table.append_dataframe(
+                base.repartition(8, F.xxhash64("conv_id", "turn_idx"))
+            )
+            sid0 = table.current_snapshot_id
+            delete_where(spark, table, "turn_idx % 11 = 5")
+            upd = (
+                table.scan(spark)
+                .filter(F.col("turn_idx") % 7 == 3)
+                .withColumn("text", F.concat(F.col("text"), F.lit("~v2")))
+            )
+            new = base.groupBy("conv_id").agg(
+                F.max("turn_idx").alias("mx")
+            ).select(
+                F.col("conv_id"),
+                (F.col("mx") + 1).cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.lit("appended turn").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+            )
+            merge_into(
+                table, upd.unionByName(new.select(*upd.columns)),
+                keys=["conv_id", "turn_idx"], mode="cow",
+            )
+        raw = changelog_scan(
+            spark, table, sid0, columns=["conv_id", "turn_idx", "text"]
+        )
+        out = compute_update_images(raw, keys=["conv_id", "turn_idx"]).select(
+            "conv_id", "turn_idx", "text", "_change_type"
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        out = spark.read.parquet(result_dir)
+        n_raw, n_out = raw.count(), out.count()
+        if n_raw <= n_out:
+            raise AssertionError(
+                f"CoW rewrite produced no carryovers to cancel ({n_raw} raw vs {n_out})"
+            )
+        types = {r["_change_type"] for r in out.select("_change_type").distinct().collect()}
+        if types != {"insert", "delete", UPDATE_BEFORE, UPDATE_AFTER}:
+            raise AssertionError(f"expected all four change types, got {types}")
+        return out
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+CHANGELOG_UPDATES_SQL = f"""
+WITH base AS ({TRANSCRIPTS_BASE_SQL})
+SELECT conv_id, turn_idx, text, _change AS _change_type FROM (
+  SELECT conv_id, turn_idx, text, 'delete' FROM base WHERE turn_idx % 11 = 5
+  UNION ALL
+  SELECT conv_id, turn_idx, text, 'update_before' FROM base
+  WHERE turn_idx % 7 = 3 AND turn_idx % 11 <> 5
+  UNION ALL
+  SELECT conv_id, turn_idx, text || '~v2', 'update_after' FROM base
+  WHERE turn_idx % 7 = 3 AND turn_idx % 11 <> 5
+  UNION ALL
+  SELECT conv_id, CAST(max(turn_idx) + 1 AS INT), 'appended turn', 'insert'
+  FROM base GROUP BY conv_id
+) u(conv_id, turn_idx, text, _change)
+"""
+
+
 CDC_REPLICATE_SQL = """
 SELECT event_id,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
