@@ -125,6 +125,58 @@ def _intervals_if_orderable(net, target: Table, key: str) -> list[tuple] | None:
     return iv
 
 
+def sync_target_schema(src: Table, target: Table) -> list[str]:
+    """Follow the source's schema evolution on the target before an
+    apply — the Delta/Iceberg "schema auto-merge" CDC behavior, from
+    the engine's own metadata-only evolution primitives:
+
+      * source RENAMES replay first, from the source's recorded rename
+        log in order (a replica created as a schema copy has the old
+        name; a rename whose ``from`` exists on the target and whose
+        ``to`` does not is replayed verbatim) — so renamed columns keep
+        their history instead of degrading to drop+add;
+      * columns the source has and the target lacks are ADDED, carrying
+        the source's initial-default when one is recorded;
+      * legal type WIDENINGS (Iceberg's promotion table) are applied;
+        a target already widened past the source is left alone (writes
+        cast up); any other type change raises ``ValidationError`` —
+        replication must not guess lossy casts;
+      * columns dropped on the source are KEPT on the target (changed
+        rows carry NULL for them) — a replication target never loses a
+        column silently.
+
+    Everything is metadata-only; no target data moves. Returns the DDL
+    actions taken, [] when the schemas already agree."""
+    actions: list[str] = []
+    tgt_cols = set(target.user_columns())
+    for ren in sorted(src.meta.get("renames") or [], key=lambda r: r["ord"]):
+        if ren["from"] in tgt_cols and ren["to"] not in tgt_cols:
+            target.rename_column(ren["from"], ren["to"])
+            tgt_cols.discard(ren["from"])
+            tgt_cols.add(ren["to"])
+            actions.append(f"rename {ren['from']} -> {ren['to']}")
+    defaults = {
+        d["col"]: d["value"] for d in (src.meta.get("column_defaults") or [])
+    }
+    tgt_types = {n: t.lower() for n, t in target.schema_fields()}
+    for name, typ in src.schema_fields():
+        t = typ.lower()
+        if name not in tgt_types:
+            target.add_column(name, typ, default=defaults.get(name))
+            actions.append(f"add {name} {t}")
+        elif tgt_types[name] != t:
+            cur = tgt_types[name]
+            if t in Table._WIDENINGS.get(cur, set()):
+                target.widen_column(name, typ)
+                actions.append(f"widen {name} {cur} -> {t}")
+            elif cur not in Table._WIDENINGS.get(t, set()):
+                raise ValidationError(
+                    f"cannot follow source type change for {name}: "
+                    f"{cur} -> {t} is not a lossless widening"
+                )
+    return actions
+
+
 def _last_applied(target: Table) -> int | None:
     """max(property, snapshot summaries) — the crash-safe anchor."""
     vals = []
@@ -145,14 +197,17 @@ def apply_changelog(
     keys: list[str],
     skip_absent_tombstones: bool = True,
     delete_file_debt_limit: int | None = 64,
+    follow_schema: bool = False,
 ) -> dict:
     """Fold source changes since the last apply into ``target``.
     Returns {mode: noop|incremental|resync, upserts, deletes,
     from_snapshot, to_snapshot, tombstones_written,
-    tombstones_skipped, eq_delete_files, consolidated}. ``keys`` is
-    the replication key (the source must be unique per key at any
-    snapshot, e.g. its MERGE key); column set replicated = the
-    target's user columns.
+    tombstones_skipped, eq_delete_files, consolidated,
+    schema_actions}. ``keys`` is the replication key (the source must
+    be unique per key at any snapshot, e.g. its MERGE key); column set
+    replicated = target columns ∩ source columns (a column only the
+    target has — e.g. dropped upstream — is kept; changed rows carry
+    NULL for it).
 
     ``skip_absent_tombstones`` drops tombstones for keys provably
     absent from the target (manifest key bounds on ``keys[0]`` —
@@ -160,7 +215,15 @@ def apply_changelog(
     always tombstoned. ``delete_file_debt_limit``: once the target
     holds at least this many live eq-delete files after an apply,
     ``rewrite_equality_deletes`` consolidates them in the same loop
-    (None disables)."""
+    (None disables). ``follow_schema`` replays source schema evolution
+    (renames / adds with defaults / widenings) on the target before
+    the apply — ``sync_target_schema``; off, new source columns simply
+    aren't replicated until the caller evolves the target."""
+    schema_actions: list[str] = []
+    if follow_schema:
+        # before the noop check: DDL-only evolution creates no source
+        # snapshot, and the replica's schema should follow immediately
+        schema_actions = sync_target_schema(src, target)
     last = _last_applied(target)
     cur = src.current_snapshot_id
     if cur is None or cur == last:
@@ -169,9 +232,19 @@ def apply_changelog(
             "from_snapshot": last, "to_snapshot": cur,
             "tombstones_written": 0, "tombstones_skipped": 0,
             "eq_delete_files": len(target.files(content=mf.CONTENT_EQ_DEL)),
-            "consolidated": False,
+            "consolidated": False, "schema_actions": schema_actions,
         }
-    cols = target.user_columns()
+    src_cols = set(src.user_columns())
+    cols = [c for c in target.user_columns() if c in src_cols]
+    # writes land in the TARGET's types: after a followed widening (or
+    # a target already widened past the source) the net rows arrive at
+    # the source's type — the cast is a Catalyst no-op when they agree
+    tgt_types = dict(target.schema_fields())
+
+    def _to_target_types(df, names):
+        return df.select(
+            *[F.col(c).cast(tgt_types[c]).alias(c) for c in names]
+        )
     try:
         changes = changelog_scan(spark, src, last, cur, columns=cols)
         mode = "incremental"
@@ -186,7 +259,7 @@ def apply_changelog(
         # commit racing in after the capture must not ride this resync
         # (they'd be applied again by the next incremental window);
         # zero-record part-files are dropped like the incremental path
-        rows = src.scan(spark, snapshot_id=cur, columns=cols)
+        rows = _to_target_types(src.scan(spark, snapshot_id=cur, columns=cols), cols)
         infos = [
             fi for fi in target.write_data_files(rows) if fi.record_count > 0
         ]
@@ -212,11 +285,13 @@ def apply_changelog(
             .drop("_rn", CHANGE_SNAPSHOT_COL)
         ).persist()
         try:
-            upserts = net.filter(F.col(CHANGE_TYPE_COL) == "insert").select(*cols)
+            upserts = _to_target_types(
+                net.filter(F.col(CHANGE_TYPE_COL) == "insert"), cols
+            )
             # net is already unique per key (the _rn == 1 filter), so
             # the tombstone set is a plain projection — no distinct
             # (the round-7 form paid a redundant shuffle here)
-            tomb = net.select(*keys)
+            tomb = _to_target_types(net, keys)
             # an empty target (initial load) needs no tombstones —
             # nothing exists to kill, so the apply is a pure append
             infos_del = []
@@ -260,7 +335,7 @@ def apply_changelog(
                     "from_snapshot": last, "to_snapshot": cur,
                     "tombstones_written": 0, "tombstones_skipped": int(n_skip),
                     "eq_delete_files": len(target.files(content=mf.CONTENT_EQ_DEL)),
-                    "consolidated": False,
+                    "consolidated": False, "schema_actions": schema_actions,
                 }
             target.commit(
                 "merge",
@@ -279,7 +354,7 @@ def apply_changelog(
         "mode": mode, "upserts": int(n_up), "deletes": int(n_del),
         "from_snapshot": last, "to_snapshot": cur,
         "tombstones_written": int(n_tomb), "tombstones_skipped": int(n_skip),
-        "consolidated": False,
+        "consolidated": False, "schema_actions": schema_actions,
     }
     # delete-file-debt trigger: bound the tombstone files a long apply
     # cadence accrues — the same FilesWithDeletes signal the reference

@@ -3482,6 +3482,83 @@ WHERE value >= 10.0 OR event_id % 100 = 0
 """
 
 
+def q_cdc_schema_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: CDC replication FOLLOWS source schema evolution
+    (`operators/replicate.py::sync_target_schema`): after the initial
+    load the source renames ``props``→``attrs`` and adds ``category``
+    (initial default 'none'), then a MERGE updates every
+    event_id%50==0 row with a real category — one follow-enabled apply
+    must replay the rename, add the column (metadata-only, default
+    included), and land the net rows, so the target's scan equals the
+    oracle's prediction: pre-evolution rows materialize the default,
+    updated rows carry their values. Self-gated on the exact DDL
+    action list."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+    from iceberg_compaction_spark.operators.replicate import apply_changelog
+    from iceberg_compaction_spark.sources.table import Table
+
+    tdir = tempfile.mkdtemp(prefix="icemaint_cdcs_")
+    try:
+        ev_ddl = (
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ev = _t(spark, sf_dir, "events")
+        with benchphase.phase("build"):
+            src = Table.create(os.path.join(tdir, "src"), ev_ddl)
+            tgt = Table.create(os.path.join(tdir, "tgt"), ev_ddl)
+            src.append_dataframe(ev.select(cols))
+            r1 = apply_changelog(spark, src, tgt, ["event_id"], follow_schema=True)
+            if r1["schema_actions"]:
+                raise AssertionError(f"initial apply took DDL actions: {r1}")
+            src.rename_column("props", "attrs")
+            src.add_column("category", "STRING", default="none")
+            merge_into(
+                src,
+                ev.filter("event_id % 50 = 0").select(
+                    "event_id", "ts", "user_id", "event_type", "value",
+                    F.lit("updated").alias("attrs"),
+                    F.lit("hot").alias("category"),
+                ),
+                ["event_id"],
+            )
+        r2 = apply_changelog(spark, src, tgt, ["event_id"], follow_schema=True)
+        if r2["schema_actions"] != [
+            "rename props -> attrs", "add category string",
+        ]:
+            raise AssertionError(f"unexpected DDL follow: {r2['schema_actions']}")
+        if r2["mode"] != "incremental" or r2["upserts"] == 0:
+            raise AssertionError(f"apply was not an incremental upsert: {r2}")
+        out = tgt.scan(spark).select(
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            "user_id",
+            "event_type",
+            F.round("value", 3).alias("value"),
+            "attrs",
+            "category",
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        return spark.read.parquet(result_dir)
+    finally:
+        shutil.rmtree(os.path.join(tdir, "src"), ignore_errors=True)
+        shutil.rmtree(os.path.join(tdir, "tgt"), ignore_errors=True)
+
+
+CDC_SCHEMA_SYNC_SQL = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       user_id, event_type,
+       ROUND(value, 3) AS value,
+       CASE WHEN event_id % 50 = 0 THEN 'updated' ELSE props END AS attrs,
+       CASE WHEN event_id % 50 = 0 THEN 'hot' ELSE 'none' END AS category
+FROM events
+"""
+
+
 def q_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 7: mergeable HISTOGRAM rollup state
     (`operators/rollup.py` fn="hist"): per-event-type fixed-bin value

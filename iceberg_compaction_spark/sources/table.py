@@ -178,9 +178,10 @@ class Table:
         """Requires an active SparkSession (DDL parsing is JVM-side)."""
         return T.StructType.fromDDL(self.meta["schema_ddl"])
 
-    def user_columns(self) -> list[str]:
-        # text-level parse so no SparkSession is needed; top-level
-        # commas only (nested types contain commas inside <>)
+    def schema_fields(self) -> list[tuple[str, str]]:
+        """(name, ddl_type) pairs — text-level parse so no SparkSession
+        is needed; top-level commas only (nested types contain commas
+        inside <>)."""
         cols, depth, cur = [], 0, ""
         for ch in self.meta["schema_ddl"]:
             if ch == "<":
@@ -194,7 +195,14 @@ class Table:
                 cur += ch
         if cur.strip():
             cols.append(cur)
-        return [c.strip().split()[0].strip("`") for c in cols]
+        out = []
+        for c in cols:
+            name, typ = c.strip().split(None, 1)
+            out.append((name.strip("`"), typ.strip()))
+        return out
+
+    def user_columns(self) -> list[str]:
+        return [name for name, _ in self.schema_fields()]
 
     # ------------------------------------------------------------------
     # schema evolution: because every read supplies the table schema to

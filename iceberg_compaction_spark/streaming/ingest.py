@@ -296,6 +296,7 @@ def stream_replicate(
     keys,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    follow_schema: bool = False,
 ):
     """Continuous CDC replication: an ``icemaint`` readStream on the
     SOURCE table is used purely as a change TRIGGER — each micro-batch
@@ -310,7 +311,9 @@ def stream_replicate(
 
     Returns the StreamingQuery. Default trigger is ``availableNow``
     (drain pending changes and stop); pass e.g.
-    ``{"processingTime": "30 seconds"}`` for continuous tailing."""
+    ``{"processingTime": "30 seconds"}`` for continuous tailing.
+    ``follow_schema`` forwards to ``apply_changelog`` — each apply
+    then replays source schema evolution on the target first."""
     from iceberg_compaction_spark.operators.replicate import apply_changelog
     from iceberg_compaction_spark.sources.datasource import register
 
@@ -319,7 +322,10 @@ def stream_replicate(
 
     def apply_batch(batch_df, batch_id: int) -> None:
         # rows ignored: apply_changelog pulls the exact window itself
-        apply_changelog(batch_df.sparkSession, src, target, keys)
+        apply_changelog(
+            batch_df.sparkSession, src, target, keys,
+            follow_schema=follow_schema,
+        )
 
     stream = (
         spark.readStream.format("icemaint")

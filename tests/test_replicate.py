@@ -350,3 +350,151 @@ def test_apply_runs_bounded_actions_over_change_set(spark, tmp_warehouse):
     ).read()
     assert ".count()" not in text, "a per-metric count pass crept back in"
     assert ".distinct()" not in text, "the redundant tombstone distinct returned"
+
+
+# ----------------------------------------------------------------------
+# round 8: follow source schema evolution (sync_target_schema)
+def test_follow_schema_add_column_with_default(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    src, tgt = _mk(spark, tmp_warehouse, "fs1")
+    src.append_dataframe(
+        spark.createDataFrame([(i, float(i), "a") for i in range(20)], DDL).coalesce(1)
+    )
+    r1 = apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+    assert r1["schema_actions"] == []
+
+    # source grows a column with an initial default; only some new
+    # rows carry real values
+    src.add_column("lang", "STRING", default="en")
+    merge_into(
+        src,
+        spark.createDataFrame(
+            [(5, 50.0, "b", "fr"), (21, 21.0, "a", None)],
+            "k BIGINT, v DOUBLE, tag STRING, lang STRING",
+        ),
+        ["k"],
+    )
+    r2 = apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+    assert r2["schema_actions"] == ["add lang string"]
+    assert tgt.user_columns() == ["k", "v", "tag", "lang"]
+    got = {
+        r["k"]: (r["v"], r["tag"], r["lang"]) for r in tgt.scan(spark).collect()
+    }
+    assert got[5] == (50.0, "b", "fr")
+    assert got[21] == (21.0, "a", None)  # genuine NULL survives post-add
+    # rows replicated BEFORE the evolution materialize the source's
+    # initial default, exactly like the source's own pre-add rows
+    assert got[7] == (7.0, "a", "en")
+    src_rows = sorted(
+        (r["k"], r["v"], r["tag"], r["lang"]) for r in src.scan(spark).collect()
+    )
+    tgt_rows = sorted(
+        (r["k"], r["v"], r["tag"], r["lang"]) for r in tgt.scan(spark).collect()
+    )
+    assert src_rows == tgt_rows
+
+
+def test_follow_schema_rename_and_widen(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    ddl = "k INT, v DOUBLE, tag STRING"
+    src = Table.create(os.path.join(tmp_warehouse, "fs2_src"), ddl)
+    tgt = Table.create(os.path.join(tmp_warehouse, "fs2_tgt"), ddl)
+    src.append_dataframe(
+        spark.createDataFrame([(i, float(i), "a") for i in range(10)], ddl).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+
+    src.rename_column("tag", "label")
+    src.widen_column("k", "bigint")
+    merge_into(
+        src,
+        spark.createDataFrame([(3, 33.0, "z")], "k BIGINT, v DOUBLE, label STRING"),
+        ["k"],
+    )
+    r = apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+    assert r["schema_actions"] == ["rename tag -> label", "widen k int -> bigint"]
+    assert tgt.user_columns() == ["k", "v", "label"]
+    assert dict(tgt.schema_fields())["k"].lower() == "bigint"
+    src_rows = sorted(
+        (r["k"], r["v"], r["label"]) for r in src.scan(spark).collect()
+    )
+    tgt_rows = sorted(
+        (r["k"], r["v"], r["label"]) for r in tgt.scan(spark).collect()
+    )
+    assert src_rows == tgt_rows
+    # pre-rename replicated rows surface under the NEW name (epoch read)
+    assert [r for r in tgt_rows if r[0] == 7][0][2] == "a"
+
+
+def test_follow_schema_drop_kept_and_incompatible_raises(spark, tmp_warehouse):
+    import pytest
+
+    from iceberg_compaction_spark.errors import ValidationError
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    src, tgt = _mk(spark, tmp_warehouse, "fs3")
+    src.append_dataframe(
+        spark.createDataFrame([(i, float(i), "a") for i in range(10)], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+
+    # source drops a column: the target keeps it; a changed row's
+    # value for it becomes NULL, unchanged rows keep theirs
+    src.drop_column("tag")
+    merge_into(
+        src, spark.createDataFrame([(4, 44.0)], "k BIGINT, v DOUBLE"), ["k"]
+    )
+    r = apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+    assert r["schema_actions"] == []
+    assert tgt.user_columns() == ["k", "v", "tag"]
+    got = {r["k"]: (r["v"], r["tag"]) for r in tgt.scan(spark).collect()}
+    assert got[4] == (44.0, None)
+    assert got[5] == (5.0, "a")
+
+    # an incompatible type change refuses instead of guessing a cast
+    src.drop_column("v")
+    src.add_column("v", "STRING")
+    src.append_dataframe(
+        spark.createDataFrame([(99, "not-a-number")], "k BIGINT, v STRING")
+    )
+    with pytest.raises(ValidationError, match="lossless widening"):
+        apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+
+
+def test_no_follow_extra_source_column_not_replicated(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    src, tgt = _mk(spark, tmp_warehouse, "fs4")
+    src.append_dataframe(
+        spark.createDataFrame([(i, float(i), "a") for i in range(8)], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"])
+    src.add_column("extra", "STRING")
+    merge_into(
+        src,
+        spark.createDataFrame(
+            [(2, 22.0, "b", "x")], "k BIGINT, v DOUBLE, tag STRING, extra STRING"
+        ),
+        ["k"],
+    )
+    r = apply_changelog(spark, src, tgt, ["k"])  # follow_schema off
+    assert r["mode"] == "incremental" and r["schema_actions"] == []
+    assert tgt.user_columns() == COLS
+    got = {r["k"]: (r["v"], r["tag"]) for r in tgt.scan(spark).collect()}
+    assert got[2] == (22.0, "b")
+
+
+def test_follow_schema_ddl_only_syncs_without_commit(spark, tmp_warehouse):
+    src, tgt = _mk(spark, tmp_warehouse, "fs5")
+    src.append_dataframe(
+        spark.createDataFrame([(1, 1.0, "a")], DDL).coalesce(1)
+    )
+    apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+    # DDL-only source change: no new snapshot, but the replica's schema
+    # must still follow on the next (no-op) apply
+    src.add_column("note", "STRING")
+    r = apply_changelog(spark, src, tgt, ["k"], follow_schema=True)
+    assert r["mode"] == "noop" and r["schema_actions"] == ["add note string"]
+    assert tgt.user_columns() == COLS + ["note"]
