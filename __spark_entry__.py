@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 8: never driver-checked yet ---
         "changelog_updates": QP.q_changelog_updates,
         "cdc_schema_sync": QP.q_cdc_schema_sync,
+        "incremental_ann": QP.q_incremental_ann,
         "asof_join_strict": QP.q_asof_join_strict,
         "gapfill_locf_salted": QP.q_gapfill_locf_salted,
         "rollup_refresh_changelog": QP.q_rollup_refresh_changelog,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "changelog_updates": QP.CHANGELOG_UPDATES_SQL,
         "cdc_schema_sync": QP.CDC_SCHEMA_SYNC_SQL,
+        "incremental_ann": QP.INCREMENTAL_ANN_SQL,
         "asof_join_strict": QP.ASOF_JOIN_STRICT_SQL,
         "gapfill_locf_salted": QP.GAPFILL_LOCF_SALTED_SQL,
         "rollup_refresh_changelog": QP.ROLLUP_REFRESH_CHANGELOG_SQL,

@@ -1,0 +1,220 @@
+"""Persisted IVF ANN index with incremental maintenance — the
+embedding-space twin of the persisted MinHash dedup index
+(``operators/dedup.py::incremental_minhash_dedup_indexed``): the
+engine's Table layer stores the index so similarity search composes
+with everything tables already do (atomic commits, compaction,
+time travel, partition pruning).
+
+Layout: one Table of ``(vec_id, embedding, cell)`` rows, hidden-
+partitioned on ``cell`` (identity transform) so every data file is
+cell-pure; the coarse quantizer (the centroid matrix) rides in a table
+property — a few KB of JSON, versioned with the table metadata.
+
+  * ``ivf_index_build``   — train centroids (deterministic Lloyd,
+    ``similarity.train_ivf_centroids``), assign the corpus, write the
+    index in ONE atomic commit (a rebuild atomically replaces).
+  * ``ivf_index_append``  — assign ONLY the increment to the frozen
+    centroids and append; O(increment) work, the existing index is
+    never read or rewritten. Equivalent by construction to rebuilding
+    the assignment side at the same centroids (pinned by test).
+  * ``ivf_index_probe``   — per query, the ``nprobe`` nearest cells;
+    the scan is RESTRICTED to those cells' partition values, so a
+    probe opens |probed cells| / |cells| of the index files
+    (metadata-only pruning, ``Table.scan(partition_values=...)``);
+    exact cosine re-ranks candidates. ``nprobe = n_centroids`` is a
+    lossless full probe — brute-force-identical, the oracle regime.
+  * ``ivf_index_stats`` / ``recommend_reindex`` — per-cell row counts
+    straight from MANIFEST metadata (files are cell-pure, so this
+    never scans data); distribution drift (a hot cell) is the signal
+    to retrain, the same metadata-first trigger style as
+    ``maintenance.recommend_compaction``.
+
+Scale shape: at 10^9 vectors × 64 dims the index is ~0.5 TB across
+|cells| partitions; a probe with nprobe=8 of 1024 cells reads <1% of
+it, the append path touches only new files, and a retrain costs
+O(iters) corpus scans — each step is a DataFrame job, nothing
+driver-sized except the centroid matrix itself (guarded).
+
+Reference contrast: the reference engine has no vector surface at all
+(SURVEY §2.12 family); the probe's partition restriction is the same
+metadata-first file selection its planner applies to every rewrite
+(crates/planner/src/file_selection.rs:205-217).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.errors import ValidationError
+from iceberg_compaction_spark.operators.similarity import (
+    _cosine_cols,
+    _nearest_centroids_udf,
+    train_ivf_centroids,
+)
+from iceberg_compaction_spark.sources import manifest as mf
+from iceberg_compaction_spark.sources.table import PART_COL, Table
+
+_CENTROIDS_PROP = "ivf.centroids"
+#: centroid matrix rides in table metadata (JSON) and every probe
+#: task's closure — refuse silly shapes instead of exploding either
+_MAX_CENTROID_FLOATS = 262_144  # e.g. 4096 cells × 64 dims
+
+
+def create_ivf_index(location: str, vec_ddl: str = "ARRAY<DOUBLE>") -> Table:
+    """An empty IVF index table, hidden-partitioned on the cell id so
+    data files are cell-pure and probes prune by partition value."""
+    return Table.create(
+        location,
+        f"vec_id BIGINT, embedding {vec_ddl}, cell INT",
+        partition={
+            "field": PART_COL,
+            "expr": "CAST(cell AS STRING)",
+            "source_col": "cell",
+        },
+    )
+
+
+def _centroids(index: Table) -> np.ndarray:
+    raw = index.get_property(_CENTROIDS_PROP)
+    if raw is None:
+        raise ValidationError("index has no trained centroids — build it first")
+    return np.asarray(json.loads(raw), dtype=np.float64)
+
+
+def _assign(df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    vec_d = F.transform(vec_col, lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        vec_d.alias("embedding"),
+        _nearest_centroids_udf(cents, 1)(vec_d)[0].cast("int").alias("cell"),
+    )
+
+
+def ivf_index_build(
+    spark: SparkSession,
+    index: Table,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> dict:
+    """Train the quantizer on ``corpus``, assign every vector, and
+    commit the index atomically (an existing index is replaced — this
+    IS the retrain path ``recommend_reindex`` asks for). Returns
+    {rows, cells}."""
+    dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
+    if n_centroids * dim > _MAX_CENTROID_FLOATS:
+        raise ValidationError(
+            f"centroid matrix {n_centroids}×{dim} exceeds "
+            f"{_MAX_CENTROID_FLOATS} floats — shard the quantizer instead"
+        )
+    cents = train_ivf_centroids(
+        corpus.withColumn(vec_col, F.transform(vec_col, lambda x: x.cast("double"))),
+        vec_col, id_col, n_centroids, iters,
+    )
+    assigned = _assign(corpus, cents, id_col, vec_col)
+    infos = [fi for fi in index.write_data_files(assigned) if fi.record_count > 0]
+    removed = [f["path"] for f in index.files()]
+    # rebuild may change row content (fresh centroids ⇒ new cells), so
+    # this is a logical rewrite ("merge"), not a row-set-preserving
+    # "replace" — downstream changelog/rollup consumers stay correct
+    index.commit("merge", added=infos, removed_paths=removed)
+    index.set_property(_CENTROIDS_PROP, json.dumps(cents.tolist()))
+    return {"rows": sum(fi.record_count for fi in infos), "cells": int(n_centroids)}
+
+
+def ivf_index_append(
+    spark: SparkSession,
+    index: Table,
+    increment: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Absorb an increment: assign its vectors to the FROZEN centroids
+    and append — O(increment); existing index files are untouched.
+    Returns {rows}. Distribution drift accumulates in cell imbalance;
+    watch ``recommend_reindex``."""
+    assigned = _assign(increment, _centroids(index), id_col, vec_col)
+    infos = [fi for fi in index.write_data_files(assigned) if fi.record_count > 0]
+    index.commit("append", added=infos)
+    return {"rows": sum(fi.record_count for fi in infos)}
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    index: Table,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): exact cosine over the
+    probed cells only. The index scan is restricted to the UNION of
+    the queries' probed cells via partition values — a ≤|cells| driver
+    set (spec-bounded, never data-bounded), exactly the bucket-pruned
+    MinHash probe's discipline. Self-matches are excluded.
+    ``index.last_scan_pruned_files`` reports the files skipped."""
+    cents = _centroids(index)
+    if not 1 <= nprobe <= len(cents):
+        raise ValidationError(f"nprobe must be in [1, {len(cents)}], got {nprobe}")
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
+    ).withColumn("_cells", _nearest_centroids_udf(cents, nprobe)(F.col("_qv")))
+    q_probed = q.select("query_id", "_qv", F.explode("_cells").alias("cell"))
+    # the distinct probed-cell set: ≤ n_centroids values by
+    # construction, so the collect is O(spec) like the dedup probe's
+    cells = {
+        str(r["cell"]) for r in q_probed.select("cell").distinct().collect()
+    }
+    index.last_probe_partition_values = cells
+    if index.files(content="data"):
+        idx = index.scan(spark, partition_values=cells)
+    else:
+        idx = spark.createDataFrame([], schema=index.schema())
+    cand = (
+        q_probed.join(idx.select("vec_id", "embedding", "cell"), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine_cols("_qv", "embedding").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_index_stats(index: Table) -> dict:
+    """Per-cell row counts from manifest metadata ONLY (files are
+    cell-pure): {"rows", "cells": {cell: rows}, "imbalance" =
+    max/mean}. Never scans data — the retrain trigger costs a
+    manifest read, like every other maintenance signal."""
+    counts: dict[str, int] = {}
+    for r in index.files(content=mf.CONTENT_DATA):
+        pv = r.get("partition")
+        if pv is None:
+            pv = "?"  # pre-partitioning file (shouldn't happen) — still counted
+        counts[pv] = counts.get(pv, 0) + int(r.get("record_count") or 0)
+    total = sum(counts.values())
+    imb = (max(counts.values()) / (total / len(counts))) if counts and total else 0.0
+    return {"rows": total, "cells": counts, "imbalance": imb}
+
+
+def recommend_reindex(index: Table, max_imbalance: float = 4.0) -> bool:
+    """True when the hottest cell holds more than ``max_imbalance``×
+    the mean cell population — appended drift has degraded probe
+    selectivity enough that retraining (``ivf_index_build``) pays."""
+    return ivf_index_stats(index)["imbalance"] > max_imbalance

@@ -539,6 +539,84 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_ANN_TOPK_SQL = EMBEDDING_TOPK_SQL  # full probe ⇒ identical to exact
 
 
+def q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: PERSISTED incremental IVF ANN index
+    (`operators/ann_index.py`) — the embeddings twin of the persisted
+    MinHash dedup index: the index lives in a cell-partitioned Table,
+    an increment (vec_id%10==7) is absorbed by ASSIGN+APPEND only
+    (existing index files untouched), and probes restrict the scan to
+    the probed cells' partition values. Returned relation: the
+    FULL-probe top-3 through the index — lossless, so the value check
+    proves the incrementally-built index holds exactly the corpus.
+    Self-gated: the increment must land as a pure append, a narrow
+    partial probe must PRUNE index files (metadata-only) while keeping
+    recall ≥ 0.6 on its own slice, and the manifest row count must
+    equal the corpus."""
+    _utc(spark)
+    from iceberg_compaction_spark.operators.ann_index import (
+        create_ivf_index,
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_probe,
+        ivf_index_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tdir = tempfile.mkdtemp(prefix="icemaint_ann_")
+    try:
+        old = emb.filter(F.col("vec_id") % 10 != 7)
+        inc = emb.filter(F.col("vec_id") % 10 == 7)
+        queries = emb.filter(F.col("vec_id") % 100 == 25)
+        with benchphase.phase("build"):  # corpus-history fixture
+            idx = create_ivf_index(os.path.join(tdir, "ivf"))
+            ivf_index_build(spark, idx, old, n_centroids=8)
+        n_before = len(idx.files(content="data"))
+        ivf_index_append(spark, idx, inc)
+        if idx.snapshots()[-1]["operation"] != "append":
+            raise AssertionError("increment was not absorbed as an append")
+        if len(idx.files(content="data")) <= n_before:
+            raise AssertionError("append added no index files")
+        n_total = emb.count()
+        if ivf_index_stats(idx)["rows"] != n_total:
+            raise AssertionError("index manifest row count != corpus size")
+
+        out = ivf_index_probe(spark, idx, queries, k=3, nprobe=8).select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r")
+        )
+        result_dir = os.path.join(tdir, "result")
+        out.write.parquet(result_dir)
+        out = spark.read.parquet(result_dir)
+
+        # pruning gate: a single-query probe at nprobe=2 opens only its
+        # two cells' files — the metadata restriction must skip the rest
+        one = queries.orderBy("vec_id").limit(1)
+        ivf_index_probe(spark, idx, one, k=3, nprobe=2).count()
+        if not 0 < idx.last_scan_pruned_files < len(idx.files(content="data")):
+            raise AssertionError(
+                f"partial probe pruned {idx.last_scan_pruned_files} files"
+            )
+        # recall gate, decoupled (single-query recall is 3 samples of
+        # noise): the whole query set at half probe vs the exact set
+        part = ivf_index_probe(spark, idx, queries, k=3, nprobe=4)
+        part_rows = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+        exact_rows = {
+            (r["query_id"], r["neighbor_id"]) for r in out.collect()
+        }
+        recall = len(part_rows & exact_rows) / max(len(exact_rows), 1)
+        if recall < 0.6:
+            raise AssertionError(f"nprobe=4 recall degraded: {recall:.3f}")
+        return out
+    finally:
+        # the result parquet must outlive this call (the driver reads
+        # the returned frame afterwards) — drop only the index
+        shutil.rmtree(os.path.join(tdir, "ivf"), ignore_errors=True)
+
+
+INCREMENTAL_ANN_SQL = EMBEDDING_TOPK_SQL.replace(
+    "vec_id % 100 = 0", "vec_id % 100 = 25"
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + mapInPandas feature extraction (decode
     stubbed deterministically). Round 8 (VERDICT #6): the DECODE

@@ -1,0 +1,132 @@
+"""Persisted IVF ANN index: incremental append ≡ one-shot assignment
+at the same centroids, cell-pruned probes never change full-probe
+results, and the reindex trigger reads metadata only."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.errors import ValidationError
+from iceberg_compaction_spark.operators.ann_index import (
+    create_ivf_index,
+    ivf_index_append,
+    ivf_index_build,
+    ivf_index_probe,
+    ivf_index_stats,
+    recommend_reindex,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _topk_rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 9))
+        for r in df.collect()
+    )
+
+
+def test_incremental_append_equals_one_shot_build(spark, tmp_warehouse):
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") % 10 != 7)
+    inc = emb.filter(F.col("vec_id") % 10 == 7)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    a = create_ivf_index(os.path.join(tmp_warehouse, "ann_a"))
+    ivf_index_build(spark, a, old, n_centroids=8)
+    n_files_before = len(a.files(content="data"))
+    ivf_index_append(spark, a, inc)
+    # append only added files — the existing index was not rewritten
+    assert len(a.files(content="data")) > n_files_before
+    assert a.snapshots()[-1]["operation"] == "append"
+
+    # one-shot: assign the FULL corpus at the same frozen centroids
+    b = create_ivf_index(os.path.join(tmp_warehouse, "ann_b"))
+    ivf_index_build(spark, b, old, n_centroids=8)
+    b.commit("delete", removed_paths=[f["path"] for f in b.files()])
+    ivf_index_append(spark, b, emb)
+
+    full_a = ivf_index_probe(spark, a, queries, k=4, nprobe=8)
+    full_b = ivf_index_probe(spark, b, queries, k=4, nprobe=8)
+    assert _topk_rows(full_a) == _topk_rows(full_b)
+    # index holds exactly the corpus
+    assert a.scan(spark).count() == emb.count()
+
+
+def test_partial_probe_prunes_files_and_keeps_recall(spark, tmp_warehouse):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_p"))
+    ivf_index_build(spark, idx, emb, n_centroids=8)
+
+    full = ivf_index_probe(spark, idx, queries, k=3, nprobe=8)
+    assert idx.last_scan_pruned_files == 0  # full probe reads every cell
+    full_rows = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+
+    # a narrow query set probes a strict cell subset — the scan must
+    # skip the other cells' files outright
+    narrow = emb.filter(F.col("vec_id") % 250 == 0)
+    part = ivf_index_probe(spark, idx, narrow, k=3, nprobe=3)
+    n_total = len(idx.files(content="data"))
+    assert 0 < idx.last_scan_pruned_files < n_total
+    assert len(idx.last_probe_partition_values) <= 8
+    narrow_ids = {r["vec_id"] for r in narrow.select("vec_id").collect()}
+    full_narrow = {p for p in full_rows if p[0] in narrow_ids}
+    part_rows = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    recall = len(part_rows & full_narrow) / max(len(full_narrow), 1)
+    assert recall >= 0.6, f"nprobe=3 recall {recall}"
+
+
+def test_full_probe_equals_brute_force(spark, tmp_warehouse):
+    from iceberg_compaction_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 5)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_x"))
+    ivf_index_build(spark, idx, emb, n_centroids=8)
+    via_index = ivf_index_probe(spark, idx, queries, k=3, nprobe=8)
+    exact = brute_force_topk(emb, queries, k=3)
+    assert _topk_rows(via_index) == _topk_rows(exact)
+
+
+def test_stats_metadata_only_and_reindex_trigger(spark, tmp_warehouse):
+    emb = _emb(spark)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_s"))
+    ivf_index_build(spark, idx, emb, n_centroids=8)
+    st = ivf_index_stats(idx)
+    assert st["rows"] == emb.count()
+    assert sum(st["cells"].values()) == st["rows"]
+    assert st["imbalance"] >= 1.0
+    assert recommend_reindex(idx, max_imbalance=0.5)  # anything trips a 0.5 bar
+
+    # skew the index with a pile of near-identical vectors: the
+    # metadata trigger must fire at the default bar
+    hot = emb.limit(1).select("vec_id", "embedding")
+    blob = hot.crossJoin(spark.range(12 * st["rows"]).select(F.col("id").alias("_i"))).select(
+        (F.col("vec_id") * 0 + 10_000_000 + F.col("_i")).alias("vec_id"),
+        "embedding",
+    )
+    ivf_index_append(spark, idx, blob)
+    assert recommend_reindex(idx)
+
+
+def test_guards(spark, tmp_warehouse):
+    emb = _emb(spark)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_g"))
+    with pytest.raises(ValidationError, match="no trained centroids"):
+        ivf_index_probe(spark, idx, emb, k=3, nprobe=2)
+    with pytest.raises(ValidationError, match="centroid matrix"):
+        ivf_index_build(spark, idx, emb, n_centroids=100_000)
+    ivf_index_build(spark, idx, emb, n_centroids=4)
+    with pytest.raises(ValidationError, match="nprobe"):
+        ivf_index_probe(spark, idx, emb, k=3, nprobe=9)
