@@ -4,7 +4,7 @@
 (transcripts table ← events, small files + equality deletes, FFD
 compaction with merge-on-read, post-compaction scan). ``queries()`` /
 ``oracle_sql()`` cover the SURVEY.md §2 operator inventory plus the
-training-data pipeline operators — 92 queries, ALL 92 of them
+training-data pipeline operators — 96 queries, ALL 96 of them
 DuckDB-oracle-checked as of round 8 (the two former rows-only keys now
 return a deterministic oracle-checkable slice while self-gating their
 approximate/decode parts in-query: ``lsh_ann_topk`` gates LSH recall
@@ -14,13 +14,14 @@ slice).
 
 Ordering note: the driver records a bounded (50-row) prefix of this
 dict, so the LEAST-driver-proven queries come FIRST. Round-8 order:
-the 2 round-8 additions (strict salted as-of, salted gapfill) and the
-2 newly-oracled keys lead; then 6 keys whose implementation changed
-this round (CDC hygiene defaults, the gapfill step-index join, the
-hist-quantile read side, rollup recompute pinning, the salted as-of
-strict option); then the 40 keys whose last driver proof is
-CORRECTNESS_r06 (two rounds stale without this rotation). The 46 keys
-proven green in CORRECTNESS_r07 take the tail. Every key, window or
+the 6 round-8 additions (changelog update images, CDC schema sync,
+persisted ANN index, strict salted as-of, salted gapfill, changelog
+rollup) and the 2 newly-oracled keys lead; then the 2 keys whose
+behavior changed most this round (CDC hygiene defaults, rollup
+recompute pinning); then the 40 keys whose last driver proof is
+CORRECTNESS_r06 — exactly 50. The r7-proven keys take the tail
+(including gapfill_locf / rollup_hist / rollup_refresh_maintain,
+whose round-8 changes are replica-proven below). Every key, window or
 not, is replica-checked every round by tests/test_oracle_parity.py
 (same row-count + schema + value-multiset comparison at sf0.01).
 """
@@ -56,12 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newly oracle-backed this round (rows-only in r7) ---
         "lsh_ann_topk": QP.q_lsh_ann_topk,
         "multimodal_features": QP.q_multimodal_features,
-        # --- implementation changed this round: re-prove in-window ---
+        # --- behavior changed most this round: re-prove in-window ---
         "cdc_replicate": QP.q_cdc_replicate,
-        "gapfill_locf": QP.q_gapfill_locf,
-        "rollup_hist": QP.q_rollup_hist,
         "rollup_refresh": QP.q_rollup_refresh,
-        "rollup_refresh_maintain": QP.q_rollup_refresh_maintain,
         # --- round-8 rotation: the 40 keys whose last driver proof is
         # --- CORRECTNESS_r06 come next, so every query's driver proof
         # --- stays at most two rounds old ---
@@ -108,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: proven green in CORRECTNESS_r07 and replica-checked
         # --- every round by tests/test_oracle_parity.py (the salted
         # --- as-of's default path is byte-identical to its r7 form) ---
+        "gapfill_locf": QP.q_gapfill_locf,
+        "rollup_hist": QP.q_rollup_hist,
+        "rollup_refresh_maintain": QP.q_rollup_refresh_maintain,
         "asof_join_salted": QP.q_asof_join_salted,
         "asof_join_nearest": QP.q_asof_join_nearest,
         "delete_where_roundtrip": QP.q_delete_where_roundtrip,

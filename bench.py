@@ -74,6 +74,7 @@ HEADLINE = [
     "asof_join_strict",  # round 8: strict tie order through the salted form
     "gapfill_locf_salted",  # round 8: chunked LOCF + cross-chunk carry
     "rollup_refresh_changelog",  # round 8: signed-changelog rollup fold
+    "incremental_ann",  # round 8: persisted IVF index append + pruned probe
 ]
 
 #: ops whose per-rep numbers land in BENCH_HISTORY.jsonl (kind=ops) so
@@ -93,6 +94,7 @@ HISTORY_OPS = [
     "asof_join_nearest",
     "asof_join_salted",
     "rollup_refresh_changelog",
+    "incremental_ann",
 ]
 
 

@@ -114,7 +114,6 @@ def hist_quantile(
         raise ValueError(f"q must be in (0, 1], got {q}")
     from pyspark.sql import Window
 
-    groups = df.select(*group_cols).distinct()
     e = df.select(
         *group_cols, F.posexplode(hist_col).alias("_bin", "_cnt")
     )
@@ -129,27 +128,27 @@ def hist_quantile(
         .withColumn("_tot", F.sum("_cnt").over(wall))
         .withColumn("_target", F.lit(float(q)) * F.col("_tot"))
     )
-    first = (
-        cum.filter((F.col("_cum") >= F.col("_target")) & (F.col("_cnt") > 0))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(*group_cols).orderBy("_bin")
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-    )
     frac = (F.col("_target") - (F.col("_cum") - F.col("_cnt"))) / F.col("_cnt")
     est = F.lit(float(lo)) + (
         F.col("_bin") + F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
     ) * F.lit(float(width))
     # round, not int(): int truncates (q=0.29 would name the column
-    # q28). Empty-histogram groups (all bins zero — e.g. every source
-    # value NULL) have no straddling bin; surface them as NULL
-    # estimates via the left join instead of silently dropping them.
+    # q28). ONE relation end to end: the straddling bin is the
+    # min-by-_bin candidate struct per group (min skips NULL structs),
+    # so empty-histogram groups (all bins zero — e.g. every source
+    # value NULL) aggregate to a NULL estimate instead of being
+    # dropped — and the rollup-state input is evaluated exactly once
+    # (a distinct+join here would recompute the whole upstream
+    # pipeline per branch).
     out_col = f"q{round(q * 100)}"
-    return groups.join(
-        first.select(*group_cols, est.alias(out_col)), group_cols, "left"
+    cand = F.when(
+        (F.col("_cum") >= F.col("_target")) & (F.col("_cnt") > 0),
+        F.struct(F.col("_bin"), est.alias("_est")),
+    )
+    return (
+        cum.groupBy(*group_cols)
+        .agg(F.min(cand).alias("_m"))
+        .select(*group_cols, F.col("_m._est").alias(out_col))
     )
 
 

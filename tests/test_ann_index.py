@@ -120,6 +120,88 @@ def test_stats_metadata_only_and_reindex_trigger(spark, tmp_warehouse):
     assert recommend_reindex(idx)
 
 
+def test_index_compaction_preserves_purity_pruning_and_results(spark, tmp_warehouse):
+    """The index is an ordinary engine Table, so small appended files
+    accreting per cell compact through the ordinary rewrite path — and
+    because bins never span table partitions, the rewrite keeps files
+    cell-pure: probes prune and return identical rows afterwards."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_c"))
+    ivf_index_build(spark, idx, emb.filter(F.col("vec_id") % 3 == 0), n_centroids=8)
+    for rem in (1, 2):  # drip appends → small files in every cell
+        ivf_index_append(spark, idx, emb.filter(F.col("vec_id") % 3 == rem))
+    before_rows = _topk_rows(ivf_index_probe(spark, idx, queries, k=3, nprobe=8))
+    n_before = len(idx.files(content="data"))
+
+    CompactionRunner(
+        spark,
+        idx,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.BIN_PACK,
+            sort_order=(("vec_id", False),),
+        ),
+    ).execute()
+
+    files = idx.files(content="data")
+    assert len(files) < n_before
+    # cell purity survived the rewrite: every file carries its cell's
+    # partition value, so stats stay metadata-exact …
+    assert all(f.get("partition") is not None for f in files)
+    st = ivf_index_stats(idx)
+    assert st["rows"] == emb.count()
+    assert sum(st["cells"].values()) == st["rows"]
+    # … and a narrow probe still skips the unprobed cells' files
+    narrow = emb.filter(F.col("vec_id") % 250 == 0)
+    ivf_index_probe(spark, idx, narrow, k=3, nprobe=2).count()
+    assert 0 < idx.last_scan_pruned_files < len(files)
+    # results byte-identical through the rewrite
+    assert _topk_rows(ivf_index_probe(spark, idx, queries, k=3, nprobe=8)) == before_rows
+
+
+def test_drift_retrain_cycle(spark, tmp_warehouse):
+    """recommend_reindex → ivf_index_build is the full maintenance
+    loop: the rebuild atomically replaces the drifted index and the
+    full-probe results afterwards cover exactly the current corpus."""
+    from iceberg_compaction_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    # 8 cells: imbalance = max/mean tops out at |cells|, so the
+    # default 4.0 bar is reachable (at 4 cells it is the asymptote)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_r"))
+    ivf_index_build(spark, idx, emb.filter(F.col("vec_id") % 2 == 0), n_centroids=8)
+    # skew with a blob of near-identical vectors until the trigger fires
+    hot = emb.orderBy("vec_id").limit(1)
+    blob = hot.crossJoin(spark.range(5000).select(F.col("id").alias("_i"))).select(
+        (20_000_000 + F.col("_i")).alias("vec_id"), "embedding"
+    )
+    ivf_index_append(spark, idx, blob)
+    assert recommend_reindex(idx)
+
+    corpus_now = (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(blob)
+    )
+    ivf_index_build(spark, idx, corpus_now, n_centroids=8)  # the retrain
+    assert not recommend_reindex(idx, max_imbalance=1e9)  # sane stats again
+    assert ivf_index_stats(idx)["rows"] == corpus_now.count()
+    queries = emb.filter(F.col("vec_id") % 50 == 25)
+    got = ivf_index_probe(spark, idx, queries, k=2, nprobe=8)
+    exact = brute_force_topk(corpus_now, queries, k=2)
+    assert _topk_rows(got) == _topk_rows(exact)
+
+
 def test_guards(spark, tmp_warehouse):
     emb = _emb(spark)
     idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_g"))
