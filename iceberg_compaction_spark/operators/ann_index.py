@@ -17,6 +17,12 @@ property — a few KB of JSON, versioned with the table metadata.
     centroids and append; O(increment) work, the existing index is
     never read or rewritten. Equivalent by construction to rebuilding
     the assignment side at the same centroids (pinned by test).
+  * ``ivf_index_refresh`` — follow a SOURCE Table behind a crash-safe
+    committed anchor (the rollup-refresh discipline): appends absorb
+    as O(increment) assign+append, source compaction is skipped
+    outright, row-set-changing commits reassign the current snapshot
+    at the frozen centroids. ``streaming/ingest.py::stream_ann`` runs
+    it off a readStream trigger.
   * ``ivf_index_probe``   — per query, the ``nprobe`` nearest cells;
     the scan is RESTRICTED to those cells' partition values, so a
     probe opens |probed cells| / |cells| of the index files
@@ -103,11 +109,16 @@ def ivf_index_build(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iters: int = 3,
+    anchor_snapshot: int | None = None,
 ) -> dict:
     """Train the quantizer on ``corpus``, assign every vector, and
     commit the index atomically (an existing index is replaced — this
     IS the retrain path ``recommend_reindex`` asks for). Returns
-    {rows, cells}."""
+    {rows, cells}. When the corpus came from a source Table the caller
+    intends to follow with ``ivf_index_refresh``, pass that table's
+    snapshot id as ``anchor_snapshot`` (and scan the corpus pinned to
+    it) — the build then stamps the follow anchor so the first refresh
+    folds only later commits instead of reassigning."""
     dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
     if n_centroids * dim > _MAX_CENTROID_FLOATS:
         raise ValidationError(
@@ -124,8 +135,19 @@ def ivf_index_build(
     # rebuild may change row content (fresh centroids ⇒ new cells), so
     # this is a logical rewrite ("merge"), not a row-set-preserving
     # "replace" — downstream changelog/rollup consumers stay correct
-    index.commit("merge", added=infos, removed_paths=removed)
+    index.commit(
+        "merge",
+        added=infos,
+        removed_paths=removed,
+        extra_summary=(
+            {_SRC_ANCHOR_SUMMARY: int(anchor_snapshot)}
+            if anchor_snapshot is not None
+            else None
+        ),
+    )
     index.set_property(_CENTROIDS_PROP, json.dumps(cents.tolist()))
+    if anchor_snapshot is not None:
+        index.set_property(_SRC_ANCHOR_PROP, int(anchor_snapshot))
     return {"rows": sum(fi.record_count for fi in infos), "cells": int(n_centroids)}
 
 
@@ -195,6 +217,124 @@ def ivf_index_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+_SRC_ANCHOR_PROP = "ivf.src-anchor"
+_SRC_ANCHOR_SUMMARY = "ivf_src_snapshot"
+
+
+def _src_anchor(index: Table) -> int | None:
+    """Crash-safe anchor recovery, the rollup discipline: the summary
+    rides the atomic index commit, so max(property, summaries) cannot
+    roll back across a crash between commit and property write."""
+    vals = []
+    prop = index.get_property(_SRC_ANCHOR_PROP, None)
+    if prop is not None:
+        vals.append(int(prop))
+    for s in index.snapshots():
+        v = (s.get("summary") or {}).get(_SRC_ANCHOR_SUMMARY)
+        if v is not None:
+            vals.append(int(v))
+    return max(vals) if vals else None
+
+
+def ivf_index_refresh(
+    spark: SparkSession,
+    index: Table,
+    src: Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Follow a SOURCE table: fold everything committed on ``src``
+    since the index's committed anchor. The window classification is
+    ``refresh_rollup``'s (`operators/rollup.py`): appended files feed
+    an O(increment) assign+append at the frozen centroids;
+    row-set-PRESERVING rewrites (compaction of the source) are skipped
+    outright — the vectors are already indexed under their old file
+    paths; a row-set-CHANGING commit (MERGE / DELETE WHERE / rollback)
+    or an unwalkable window reassigns the source's CURRENT snapshot at
+    the frozen centroids in one atomic replace — the index's row set
+    equals the source's again, no retrain. Returns {mode, rows,
+    from_snapshot, to_snapshot} with mode in
+    ``noop | append | reassign``. Quantizer drift remains
+    ``recommend_reindex``'s job; this keeps MEMBERSHIP exact."""
+    from iceberg_compaction_spark.operators.rollup import (
+        _ROWSET_PRESERVING,
+        _window_chain,
+    )
+
+    cents = _centroids(index)  # refuse to follow an untrained index
+    last = _src_anchor(index)
+    cur = src.current_snapshot_id
+    if cur is None or cur == last:
+        return {"mode": "noop", "rows": 0, "from_snapshot": last, "to_snapshot": cur}
+
+    mode = "append"
+    pending: dict[str, dict] = {}
+    if last is None and index.files(content="data"):
+        # an index built without ``anchor_snapshot`` holds rows of
+        # unknown provenance — appending the full source history onto
+        # them would double-index; reassign establishes the invariant
+        mode = "reassign"
+    chain = _window_chain(src, last, cur) if mode == "append" else None
+    if chain is None:
+        mode = "reassign"
+        chain = []
+    for snap in chain:
+        op = snap.get("operation") or "append"
+        sid, parent = snap["snapshot_id"], snap.get("parent_id")
+        if op == "append":
+            for r in src.added_files_between(parent, sid):
+                pending[r["path"]] = r
+        elif op in _ROWSET_PRESERVING:
+            after = {
+                r["path"]
+                for r in src.manifest(sid)
+                if r["content"] == mf.CONTENT_DATA
+            }
+            if any(p not in after for p in pending):
+                # a not-yet-indexed append was rewritten into mixed
+                # outputs: no file-level delta exists for it any more
+                mode = "reassign"
+        else:
+            mode = "reassign"
+
+    if mode == "append":
+        live = [r for r in pending.values() if r.get("record_count", 1)]
+        if not live:
+            index.set_property(_SRC_ANCHOR_PROP, int(cur))
+            return {
+                "mode": "append", "rows": 0,
+                "from_snapshot": last, "to_snapshot": cur,
+            }
+        inc = src.read_data_rows(spark, live).select(id_col, vec_col)
+        assigned = _assign(inc, cents, id_col, vec_col)
+        infos = [fi for fi in index.write_data_files(assigned) if fi.record_count > 0]
+        index.commit(
+            "append", added=infos,
+            extra_summary={_SRC_ANCHOR_SUMMARY: int(cur)},
+        )
+    else:
+        # pinned to ``cur`` (the anchor we record), not the scan-time
+        # current snapshot — the rollup recompute discipline
+        cur_rows = src.scan(spark, snapshot_id=cur, columns=[id_col, vec_col])
+        assigned = _assign(cur_rows, cents, id_col, vec_col)
+        infos = [fi for fi in index.write_data_files(assigned) if fi.record_count > 0]
+        removed = [f["path"] for f in index.files()]
+        # "merge", not "replace": a reassign can change the index's row
+        # set (source deletes disappear), same rationale as the retrain
+        # commit in ivf_index_build
+        index.commit(
+            "merge", added=infos, removed_paths=removed,
+            extra_summary={_SRC_ANCHOR_SUMMARY: int(cur)},
+        )
+    index.set_property(_SRC_ANCHOR_PROP, int(cur))
+    return {
+        "mode": mode,
+        "rows": sum(fi.record_count for fi in infos),
+        "from_snapshot": last,
+        "to_snapshot": cur,
+    }
 
 
 def ivf_index_stats(index: Table) -> dict:

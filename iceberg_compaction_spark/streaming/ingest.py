@@ -389,6 +389,55 @@ def stream_rollup(
     return writer.start()
 
 
+def stream_ann(
+    spark,
+    src: Table,
+    index: Table,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous ANN-index maintenance — ``stream_rollup`` for the
+    persisted IVF index: an ``icemaint`` readStream on the vector
+    SOURCE table is used purely as a change TRIGGER; each micro-batch
+    invokes ``operators/ann_index.ivf_index_refresh``, which reads its
+    own exact window behind the index's crash-safe committed anchor
+    (appends absorb as O(increment) assign+append at the frozen
+    centroids; row-set changes reassign the current snapshot). Batch
+    rows are never consumed, so replay / reorder / missed triggers can
+    neither double-index nor skip — every refresh converges the index
+    to the source's current snapshot.
+
+    Returns the StreamingQuery. Default trigger is ``availableNow``
+    (drain pending changes and stop); pass e.g.
+    ``{"processingTime": "30 seconds"}`` for continuous tailing."""
+    from iceberg_compaction_spark.operators.ann_index import ivf_index_refresh
+    from iceberg_compaction_spark.sources.datasource import register
+
+    register(spark)
+
+    def refresh_batch(batch_df, batch_id: int) -> None:
+        # rows ignored: ivf_index_refresh pulls the exact window itself
+        ivf_index_refresh(
+            batch_df.sparkSession, index, src, id_col=id_col, vec_col=vec_col
+        )
+
+    stream = (
+        spark.readStream.format("icemaint")
+        .option("path", src.location)
+        .option("starting_snapshot_id", "earliest")
+        .load()
+    )
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(refresh_batch)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def stream_enrich_asof(
     stream_df: DataFrame,
     dim_table: Table,

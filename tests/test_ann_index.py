@@ -202,6 +202,124 @@ def test_drift_retrain_cycle(spark, tmp_warehouse):
     assert _topk_rows(got) == _topk_rows(exact)
 
 
+VEC_DDL = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+
+def test_refresh_follows_source_table(spark, tmp_warehouse):
+    """ivf_index_refresh behind the committed anchor: appends absorb
+    incrementally, source compaction advances the anchor without
+    touching the index, a source DELETE reassigns — and membership
+    equals the source at every step."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.operators.ann_index import ivf_index_refresh
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.operators.similarity import brute_force_topk
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.table import Table
+
+    emb = _emb(spark).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    src = Table.create(os.path.join(tmp_warehouse, "vsrc"), VEC_DDL)
+    src.append_dataframe(emb.filter(F.col("vec_id") % 2 == 0))
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "vidx"))
+    cur = src.current_snapshot_id
+    ivf_index_build(
+        spark, idx, src.scan(spark, snapshot_id=cur),
+        n_centroids=8, anchor_snapshot=cur,
+    )
+    assert ivf_index_refresh(spark, idx, src)["mode"] == "noop"
+
+    src.append_dataframe(emb.filter(F.col("vec_id") % 2 == 1))
+    r = ivf_index_refresh(spark, idx, src)
+    assert r["mode"] == "append" and r["rows"] > 0
+    assert idx.snapshots()[-1]["operation"] == "append"
+    assert ivf_index_stats(idx)["rows"] == src.scan(spark).count()
+
+    # source compaction is row-set-preserving: the refresh must advance
+    # the anchor WITHOUT rewriting or re-adding anything to the index
+    CompactionRunner(
+        spark, src,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.SINGLE,
+            sort_order=(("vec_id", False),),
+        ),
+    ).execute()
+    n_snaps = len(idx.snapshots())
+    r = ivf_index_refresh(spark, idx, src)
+    assert r["mode"] == "append" and r["rows"] == 0
+    assert len(idx.snapshots()) == n_snaps  # anchor-only, no commit
+    assert ivf_index_refresh(spark, idx, src)["mode"] == "noop"
+
+    # a row-set-changing source commit reassigns at frozen centroids
+    delete_where(spark, src, "vec_id % 10 = 3")
+    r = ivf_index_refresh(spark, idx, src)
+    assert r["mode"] == "reassign"
+    assert ivf_index_stats(idx)["rows"] == src.scan(spark).count()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = ivf_index_probe(spark, idx, queries, k=3, nprobe=8)
+    exact = brute_force_topk(src.scan(spark), queries, k=3)
+    assert _topk_rows(got) == _topk_rows(exact)
+
+
+def test_refresh_without_anchor_on_nonempty_index_reassigns(spark, tmp_warehouse):
+    """An index built WITHOUT anchor_snapshot holds rows of unknown
+    provenance — the first follow must reassign, never append the full
+    history on top (double-indexing)."""
+    from iceberg_compaction_spark.operators.ann_index import ivf_index_refresh
+    from iceberg_compaction_spark.sources.table import Table
+
+    emb = _emb(spark).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    src = Table.create(os.path.join(tmp_warehouse, "nsrc"), VEC_DDL)
+    src.append_dataframe(emb)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "nidx"))
+    ivf_index_build(spark, idx, src.scan(spark), n_centroids=8)  # no anchor
+    r = ivf_index_refresh(spark, idx, src)
+    assert r["mode"] == "reassign"
+    assert ivf_index_stats(idx)["rows"] == emb.count()  # not 2×
+
+
+def test_stream_ann_tails_source(spark, tmp_warehouse):
+    """stream_ann drains source changes through ivf_index_refresh: the
+    append-only stream triggers incremental absorbs, and a DELETE the
+    stream never surfaces as rows still reaches the index (reassign)
+    on the next drain with the same checkpoint."""
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.sources.table import Table
+    from iceberg_compaction_spark.streaming.ingest import stream_ann
+
+    emb = _emb(spark).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    src = Table.create(os.path.join(tmp_warehouse, "ssrc_ann"), VEC_DDL)
+    src.append_dataframe(emb.filter(F.col("vec_id") % 2 == 0).coalesce(1))
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "sidx_ann"))
+    cur = src.current_snapshot_id
+    ivf_index_build(
+        spark, idx, src.scan(spark, snapshot_id=cur),
+        n_centroids=8, anchor_snapshot=cur,
+    )
+    ckpt = os.path.join(tmp_warehouse, "sann_ckpt")
+
+    src.append_dataframe(emb.filter(F.col("vec_id") % 2 == 1).coalesce(1))
+    q = stream_ann(spark, src, idx, ckpt)
+    q.awaitTermination(120)
+    assert idx.snapshots()[-1]["operation"] == "append"
+    assert ivf_index_stats(idx)["rows"] == emb.count()
+
+    delete_where(spark, src, "vec_id % 4 = 1")
+    q2 = stream_ann(spark, src, idx, ckpt)  # same checkpoint
+    q2.awaitTermination(120)
+    assert ivf_index_stats(idx)["rows"] == src.scan(spark).count()
+
+
 def test_guards(spark, tmp_warehouse):
     emb = _emb(spark)
     idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_g"))
