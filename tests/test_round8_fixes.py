@@ -231,3 +231,71 @@ def test_brute_force_vectorized_query_side_guard(spark):
         df, df.filter("vec_id < 3"), k=1, max_query_rows=5
     )
     assert out.count() == 3
+
+
+def test_minhash_index_compaction_keeps_bucket_pruning(spark, tmp_warehouse):
+    """Composition: the persisted MinHash index is an ordinary Table,
+    so drip-appended signature files compact through the ordinary
+    rewrite path — and because bins never span partitions, the rewrite
+    keeps files bucket-pure: the NEXT incremental-dedup probe still
+    prunes by the increment's signature buckets with identical
+    survivors."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        incremental_minhash_dedup_indexed,
+        minhash_index,
+    )
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.table import bucket_partition_spec
+
+    def _doc(i):
+        return (
+            i,
+            f"corpus doc {i} with words alpha{i} beta{i * 7} "
+            f"gamma{i % 13} delta{i} epsilon{i * 3} zeta{i} end",
+        )
+
+    idx = Table.create(
+        os.path.join(tmp_warehouse, "mh_cidx"),
+        "doc_id BIGINT, band INT, signature STRING",
+        partition=bucket_partition_spec("signature", 64),
+    )
+    for batch in (range(0, 80), range(80, 160)):  # drip → small files
+        idx.append_dataframe(
+            minhash_index(
+                spark.createDataFrame(
+                    [_doc(i) for i in batch], "doc_id BIGINT, text STRING"
+                ),
+                bands=4,
+            )
+        )
+    n_before = len(idx.files(content="data"))
+
+    CompactionRunner(
+        spark,
+        idx,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.BIN_PACK,
+            sort_order=(("doc_id", False),),
+        ),
+    ).execute()
+    files = idx.files(content="data")
+    assert len(files) < n_before
+    assert all(f.get("partition") is not None for f in files)
+
+    inc = spark.createDataFrame(
+        [_doc(7), (2001, "a fresh post-compaction document about bin packing")],
+        "doc_id BIGINT, text STRING",
+    )
+    survivors, _ = incremental_minhash_dedup_indexed(spark, inc, idx, bands=4)
+    got = sorted(r["doc_id"] for r in survivors.select("doc_id").collect())
+    assert got == [2001]  # doc 7 dups the indexed corpus
+    assert 0 < idx.last_scan_pruned_files < len(files)
+    full, _ = incremental_minhash_dedup(inc, idx.scan(spark), bands=4)
+    assert sorted(r["doc_id"] for r in full.select("doc_id").collect()) == got
