@@ -330,3 +330,18 @@ def test_guards(spark, tmp_warehouse):
     ivf_index_build(spark, idx, emb, n_centroids=4)
     with pytest.raises(ValidationError, match="nprobe"):
         ivf_index_probe(spark, idx, emb, k=3, nprobe=9)
+
+
+def test_probe_plan_is_equijoin_only(spark, tmp_warehouse):
+    """The candidate join (probed queries × probed cells) must compile
+    to an equi-join on the cell id — never a cartesian / nested-loop
+    pairing of queries with vectors."""
+    emb = _emb(spark)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_plan"))
+    ivf_index_build(spark, idx, emb, n_centroids=8)
+    out = ivf_index_probe(
+        spark, idx, emb.filter(F.col("vec_id") % 50 == 0), k=3, nprobe=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
