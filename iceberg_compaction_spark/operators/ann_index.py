@@ -244,20 +244,38 @@ def ivf_index_refresh(
     src: Table,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    delete_file_debt_limit: int | None = 64,
 ) -> dict:
     """Follow a SOURCE table: fold everything committed on ``src``
     since the index's committed anchor. The window classification is
-    ``refresh_rollup``'s (`operators/rollup.py`): appended files feed
-    an O(increment) assign+append at the frozen centroids;
-    row-set-PRESERVING rewrites (compaction of the source) are skipped
-    outright — the vectors are already indexed under their old file
-    paths; a row-set-CHANGING commit (MERGE / DELETE WHERE / rollback)
-    or an unwalkable window reassigns the source's CURRENT snapshot at
-    the frozen centroids in one atomic replace — the index's row set
-    equals the source's again, no retrain. Returns {mode, rows,
-    from_snapshot, to_snapshot} with mode in
-    ``noop | append | reassign``. Quantizer drift remains
-    ``recommend_reindex``'s job; this keeps MEMBERSHIP exact."""
+    ``refresh_rollup``'s (`operators/rollup.py`), and row-set changes
+    apply with ``apply_changelog``'s O(changed) discipline
+    (`operators/replicate.py`) — the index IS a replication target
+    keyed by ``id_col``, plus a derived cell column:
+
+      * appended source files feed an O(increment) assign+append at
+        the frozen centroids (``mode="append"``; source compaction is
+        skipped outright — its rows are already indexed);
+      * a row-set-CHANGING window (MERGE / DELETE WHERE / …) nets the
+        row-level changelog per key: net keys tombstone the index via
+        ONE equality-delete file (keys provably absent by manifest key
+        bounds are skipped, the CDC hygiene rule), net inserts
+        assign+append — one atomic commit, O(changed rows), the index
+        is never rescanned (``mode="changelog"``);
+      * an unwalkable window (rollback past the anchor, expired
+        snapshots) or an unanchored nonempty index reassigns the
+        source's CURRENT snapshot at the frozen centroids in one
+        atomic replace (``mode="reassign"``) — membership equals the
+        source again, no retrain.
+
+    ``delete_file_debt_limit`` bounds tombstone debt exactly like
+    replication targets: once the index holds that many live eq-delete
+    files, ``rewrite_equality_deletes`` consolidates them in the same
+    loop (None disables). Probes apply tombstones via the ordinary MoR
+    scan, so results track the source between consolidations. Returns
+    {mode, rows, deletes, from_snapshot, to_snapshot, consolidated}.
+    Quantizer drift remains ``recommend_reindex``'s job; this keeps
+    MEMBERSHIP exact."""
     from iceberg_compaction_spark.operators.rollup import (
         _ROWSET_PRESERVING,
         _window_chain,
@@ -267,7 +285,10 @@ def ivf_index_refresh(
     last = _src_anchor(index)
     cur = src.current_snapshot_id
     if cur is None or cur == last:
-        return {"mode": "noop", "rows": 0, "from_snapshot": last, "to_snapshot": cur}
+        return {
+            "mode": "noop", "rows": 0, "deletes": 0,
+            "from_snapshot": last, "to_snapshot": cur, "consolidated": False,
+        }
 
     mode = "append"
     pending: dict[str, dict] = {}
@@ -295,17 +316,20 @@ def ivf_index_refresh(
             if any(p not in after for p in pending):
                 # a not-yet-indexed append was rewritten into mixed
                 # outputs: no file-level delta exists for it any more
-                mode = "reassign"
+                mode = "changelog"
         else:
-            mode = "reassign"
+            mode = "changelog"
 
+    n_del = 0
+    consolidated = False
     if mode == "append":
         live = [r for r in pending.values() if r.get("record_count", 1)]
         if not live:
             index.set_property(_SRC_ANCHOR_PROP, int(cur))
             return {
-                "mode": "append", "rows": 0,
+                "mode": "append", "rows": 0, "deletes": 0,
                 "from_snapshot": last, "to_snapshot": cur,
+                "consolidated": False,
             }
         inc = src.read_data_rows(spark, live).select(id_col, vec_col)
         assigned = _assign(inc, cents, id_col, vec_col)
@@ -314,7 +338,86 @@ def ivf_index_refresh(
             "append", added=infos,
             extra_summary={_SRC_ANCHOR_SUMMARY: int(cur)},
         )
-    else:
+    elif mode == "changelog":
+        from pyspark.sql import Window
+
+        from iceberg_compaction_spark.operators.changelog import (
+            CHANGE_SNAPSHOT_COL,
+            CHANGE_TYPE_COL,
+            changelog_scan,
+        )
+        from iceberg_compaction_spark.operators.merge_into import (
+            table_write_eq_delete,
+        )
+        from iceberg_compaction_spark.operators.replicate import (
+            _intervals_if_orderable,
+        )
+
+        try:
+            changes = changelog_scan(
+                spark, src, last, cur, columns=[id_col, vec_col]
+            )
+        except ValidationError:
+            changes = None
+            mode = "reassign"
+        if changes is not None:
+            is_ins = (F.col(CHANGE_TYPE_COL) == "insert").cast("int")
+            w = Window.partitionBy(id_col).orderBy(
+                F.desc(CHANGE_SNAPSHOT_COL), F.desc(is_ins)
+            )
+            net = (
+                changes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", CHANGE_SNAPSHOT_COL)
+            ).persist()
+            try:
+                # the index's replication key is vec_id; skip tombstones
+                # for keys its manifests prove absent (CDC hygiene rule)
+                tomb = net.select(F.col(id_col).cast("long").alias("vec_id"))
+                infos_del = []
+                if index.files(content="data"):
+                    iv = _intervals_if_orderable(
+                        net.withColumnRenamed(id_col, "vec_id")
+                        if id_col != "vec_id"
+                        else net,
+                        index,
+                        "vec_id",
+                    )
+                    if iv is not None:
+                        k = F.col("vec_id")
+                        present = k.isNull()
+                        for lo, hi in iv:
+                            present = present | k.between(F.lit(lo), F.lit(hi))
+                        tomb = tomb.filter(present)
+                    infos_del = [
+                        fi
+                        for fi in table_write_eq_delete(index, tomb, ["vec_id"])
+                        if fi.record_count > 0
+                    ]
+                inserts = net.filter(F.col(CHANGE_TYPE_COL) == "insert")
+                assigned = _assign(inserts, cents, id_col, vec_col)
+                infos = [
+                    fi for fi in index.write_data_files(assigned)
+                    if fi.record_count > 0
+                ]
+                cnt = net.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum(is_ins).alias("ins")
+                ).collect()[0]
+                n_del = int(cnt["n"] or 0) - int(cnt["ins"] or 0)
+                if not infos and not infos_del:
+                    index.set_property(_SRC_ANCHOR_PROP, int(cur))
+                    return {
+                        "mode": mode, "rows": 0, "deletes": 0,
+                        "from_snapshot": last, "to_snapshot": cur,
+                        "consolidated": False,
+                    }
+                index.commit(
+                    "merge", added=list(infos_del) + list(infos),
+                    extra_summary={_SRC_ANCHOR_SUMMARY: int(cur)},
+                )
+            finally:
+                net.unpersist()
+    if mode == "reassign":
         # pinned to ``cur`` (the anchor we record), not the scan-time
         # current snapshot — the rollup recompute discipline
         cur_rows = src.scan(spark, snapshot_id=cur, columns=[id_col, vec_col])
@@ -329,19 +432,34 @@ def ivf_index_refresh(
             extra_summary={_SRC_ANCHOR_SUMMARY: int(cur)},
         )
     index.set_property(_SRC_ANCHOR_PROP, int(cur))
+    if delete_file_debt_limit is not None and len(
+        index.files(content=mf.CONTENT_EQ_DEL)
+    ) >= delete_file_debt_limit:
+        from iceberg_compaction_spark.operators.maintenance import (
+            rewrite_equality_deletes,
+        )
+
+        rewrite_equality_deletes(spark, index)
+        consolidated = True
     return {
         "mode": mode,
         "rows": sum(fi.record_count for fi in infos),
+        "deletes": n_del,
         "from_snapshot": last,
         "to_snapshot": cur,
+        "consolidated": consolidated,
     }
 
 
 def ivf_index_stats(index: Table) -> dict:
     """Per-cell row counts from manifest metadata ONLY (files are
     cell-pure): {"rows", "cells": {cell: rows}, "imbalance" =
-    max/mean}. Never scans data — the retrain trigger costs a
-    manifest read, like every other maintenance signal."""
+    max/mean, "eq_delete_files", "tombstones"}. Never scans data — the
+    retrain trigger costs a manifest read, like every other
+    maintenance signal. Counts are PRE-MoR (live eq-delete tombstones
+    from changelog refreshes are not subtracted — an upper bound whose
+    drift ``delete_file_debt_limit`` consolidation keeps bounded);
+    exact membership is ``index.scan(spark).count()``."""
     counts: dict[str, int] = {}
     for r in index.files(content=mf.CONTENT_DATA):
         pv = r.get("partition")
@@ -350,7 +468,14 @@ def ivf_index_stats(index: Table) -> dict:
         counts[pv] = counts.get(pv, 0) + int(r.get("record_count") or 0)
     total = sum(counts.values())
     imb = (max(counts.values()) / (total / len(counts))) if counts and total else 0.0
-    return {"rows": total, "cells": counts, "imbalance": imb}
+    eq = index.files(content=mf.CONTENT_EQ_DEL)
+    return {
+        "rows": total,
+        "cells": counts,
+        "imbalance": imb,
+        "eq_delete_files": len(eq),
+        "tombstones": sum(int(r.get("record_count") or 0) for r in eq),
+    }
 
 
 def recommend_reindex(index: Table, max_imbalance: float = 4.0) -> bool:

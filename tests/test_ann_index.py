@@ -256,12 +256,33 @@ def test_refresh_follows_source_table(spark, tmp_warehouse):
     assert len(idx.snapshots()) == n_snaps  # anchor-only, no commit
     assert ivf_index_refresh(spark, idx, src)["mode"] == "noop"
 
-    # a row-set-changing source commit reassigns at frozen centroids
+    # a row-set-changing source commit folds the CHANGELOG: net keys
+    # tombstone the index (one eq-delete file), net inserts append —
+    # O(changed), the index is never rescanned or reassigned
     delete_where(spark, src, "vec_id % 10 = 3")
     r = ivf_index_refresh(spark, idx, src)
-    assert r["mode"] == "reassign"
-    assert ivf_index_stats(idx)["rows"] == src.scan(spark).count()
+    assert r["mode"] == "changelog"
+    assert r["deletes"] > 0 and r["rows"] == 0
+    st = ivf_index_stats(idx)
+    assert st["eq_delete_files"] == 1 and st["tombstones"] == r["deletes"]
+    assert idx.scan(spark).count() == src.scan(spark).count()
     queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = ivf_index_probe(spark, idx, queries, k=3, nprobe=8)
+    exact = brute_force_topk(src.scan(spark), queries, k=3)
+    assert _topk_rows(got) == _topk_rows(exact)  # MoR applies tombstones
+
+    # an UPSERT nets to tombstone + re-assigned new image; a second
+    # refresh with a 1-file debt limit consolidates without changing
+    # the scan
+    from iceberg_compaction_spark.operators.merge_into import merge_into
+
+    moved = src.scan(spark).limit(5).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    merge_into(src, moved, ["vec_id"])
+    r = ivf_index_refresh(spark, idx, src, delete_file_debt_limit=1)
+    assert r["mode"] == "changelog" and r["rows"] == 5 and r["consolidated"]
+    assert idx.scan(spark).count() == src.scan(spark).count()
     got = ivf_index_probe(spark, idx, queries, k=3, nprobe=8)
     exact = brute_force_topk(src.scan(spark), queries, k=3)
     assert _topk_rows(got) == _topk_rows(exact)
@@ -317,7 +338,10 @@ def test_stream_ann_tails_source(spark, tmp_warehouse):
     delete_where(spark, src, "vec_id % 4 = 1")
     q2 = stream_ann(spark, src, idx, ckpt)  # same checkpoint
     q2.awaitTermination(120)
-    assert ivf_index_stats(idx)["rows"] == src.scan(spark).count()
+    # the delete arrived as changelog tombstones: stats stay pre-MoR,
+    # the MoR scan is the exact membership
+    assert ivf_index_stats(idx)["tombstones"] > 0
+    assert idx.scan(spark).count() == src.scan(spark).count()
 
 
 def test_guards(spark, tmp_warehouse):
