@@ -369,3 +369,52 @@ def test_probe_plan_is_equijoin_only(spark, tmp_warehouse):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compaction_materializes_tombstones_probe_unchanged(spark, tmp_warehouse):
+    """Composition: after changelog refreshes leave eq-delete
+    tombstones on the index, ordinary compaction folds them into the
+    data files (MoR debt goes to zero) and full-probe results are
+    byte-identical across the rewrite."""
+    from iceberg_compaction_spark.config import (
+        CompactionConfig,
+        GroupingStrategy,
+        SelectionStrategy,
+    )
+    from iceberg_compaction_spark.operators.ann_index import ivf_index_refresh
+    from iceberg_compaction_spark.operators.delete_where import delete_where
+    from iceberg_compaction_spark.plans.compaction import CompactionRunner
+    from iceberg_compaction_spark.sources.table import Table
+
+    emb = _emb(spark).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    src = Table.create(os.path.join(tmp_warehouse, "csrc"), VEC_DDL)
+    src.append_dataframe(emb)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "cidx"))
+    cur = src.current_snapshot_id
+    ivf_index_build(
+        spark, idx, src.scan(spark, snapshot_id=cur),
+        n_centroids=8, anchor_snapshot=cur,
+    )
+    delete_where(spark, src, "vec_id % 5 = 2")
+    r = ivf_index_refresh(spark, idx, src)
+    assert r["mode"] == "changelog" and ivf_index_stats(idx)["tombstones"] > 0
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    before = _topk_rows(ivf_index_probe(spark, idx, queries, k=3, nprobe=8))
+
+    CompactionRunner(
+        spark, idx,
+        CompactionConfig(
+            selection=SelectionStrategy.FULL,
+            grouping=GroupingStrategy.BIN_PACK,
+            sort_order=(("vec_id", False),),
+        ),
+    ).execute()
+    st = ivf_index_stats(idx)
+    assert st["tombstones"] == 0  # deletes materialized into the data
+    assert st["rows"] == src.scan(spark).count()  # stats exact again
+    assert _topk_rows(ivf_index_probe(spark, idx, queries, k=3, nprobe=8)) == before
+    # and the next refresh is undisturbed by the index's own rewrite
+    assert ivf_index_refresh(spark, idx, src)["mode"] == "noop"
