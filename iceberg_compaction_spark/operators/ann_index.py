@@ -190,7 +190,12 @@ def ivf_index_probe(
         F.col(id_col).cast("long").alias("query_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
     ).withColumn("_cells", _nearest_centroids_udf(cents, nprobe)(F.col("_qv")))
-    q_probed = q.select("query_id", "_qv", F.explode("_cells").alias("cell"))
+    # dedupe on the SMALL side: a duplicated query row would otherwise
+    # duplicate every candidate pair; (query, cell) is |queries|×nprobe
+    # while candidates are |queries|×cell-population
+    q_probed = q.select(
+        "query_id", "_qv", F.explode("_cells").alias("cell")
+    ).dropDuplicates(["query_id", "cell"])
     # the distinct probed-cell set: ≤ n_centroids values by
     # construction, so the collect is O(spec) like the dedup probe's
     cells = {
@@ -201,10 +206,12 @@ def ivf_index_probe(
         idx = index.scan(spark, partition_values=cells)
     else:
         idx = spark.createDataFrame([], schema=index.schema())
-    cand = (
-        q_probed.join(idx.select("vec_id", "embedding", "cell"), "cell")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .dropDuplicates(["query_id", "vec_id"])
+    # no candidate-side dedup needed: every vector lives in exactly ONE
+    # cell and (query_id, cell) is unique above, so (query_id, vec_id)
+    # pairs are unique by construction — a distinct here would add a
+    # full exchange on the largest relation in the plan
+    cand = q_probed.join(idx.select("vec_id", "embedding", "cell"), "cell").filter(
+        F.col("query_id") != F.col("vec_id")
     )
     scored = cand.select(
         "query_id",
