@@ -238,7 +238,12 @@ def gapfill_locf(
     state, same single-shuffle discipline as the as-of join. Buckets
     per group are bounded by (end-start)/step, which the CALLER fixes
     independently of data volume; a hot group is
-    ``gapfill_locf_salted``'s job."""
+    ``gapfill_locf_salted``'s job.
+
+    Input contract (both forms): ``df`` is evaluated more than once
+    (group universe + observations) — pass a materialized relation (a
+    table scan, like the rollup read-side it companions) or persist a
+    derived pipeline first, the trap ``hist_quantile`` used to have."""
     from pyspark.sql import Window
 
     _, grid, src, _ = _gapfill_frames(
