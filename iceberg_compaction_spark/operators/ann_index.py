@@ -176,13 +176,21 @@ def ivf_index_probe(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: str | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): exact cosine over the
     probed cells only. The index scan is restricted to the UNION of
     the queries' probed cells via partition values — a ≤|cells| driver
     set (spec-bounded, never data-bounded), exactly the bucket-pruned
     MinHash probe's discipline. Self-matches are excluded.
-    ``index.last_scan_pruned_files`` reports the files skipped."""
+    ``index.last_scan_pruned_files`` reports the files skipped.
+
+    ``where``: FILTERED vector search — a SQL predicate over index
+    columns applied INSIDE the scan, so it composes with cell pruning
+    (manifest bounds skip non-matching files, the residual filters
+    rows before any distance is computed) and ranks the top-k among
+    matching vectors only — never post-filtering a k-truncated list,
+    which silently under-returns."""
     cents = _centroids(index)
     if not 1 <= nprobe <= len(cents):
         raise ValidationError(f"nprobe must be in [1, {len(cents)}], got {nprobe}")
@@ -203,9 +211,11 @@ def ivf_index_probe(
     }
     index.last_probe_partition_values = cells
     if index.files(content="data"):
-        idx = index.scan(spark, partition_values=cells)
+        idx = index.scan(spark, partition_values=cells, filter=where)
     else:
         idx = spark.createDataFrame([], schema=index.schema())
+        if where is not None:
+            idx = idx.filter(F.expr(where))
     # no candidate-side dedup needed: every vector lives in exactly ONE
     # cell and (query_id, cell) is unique above, so (query_id, vec_id)
     # pairs are unique by construction — a distinct here would add a

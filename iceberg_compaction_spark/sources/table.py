@@ -1475,7 +1475,10 @@ class Table:
                 data_rows, pruned = pruning.prune_files(
                     data_rows, filter, col_types=self.column_type_categories()
                 )
-            self.last_scan_pruned_files = pruned
+            # accumulate, don't assign: a scan combining partition_values
+            # with a filter (e.g. a filtered index probe) counted its
+            # partition-skipped files just above
+            self.last_scan_pruned_files += pruned
             # transform predicate projection (Iceberg Projections): an
             # = / IN predicate on the spec's declared source column
             # maps to exact partition values — prunes buckets/dates the

@@ -418,3 +418,35 @@ def test_compaction_materializes_tombstones_probe_unchanged(spark, tmp_warehouse
     assert _topk_rows(ivf_index_probe(spark, idx, queries, k=3, nprobe=8)) == before
     # and the next refresh is undisturbed by the index's own rewrite
     assert ivf_index_refresh(spark, idx, src)["mode"] == "noop"
+
+
+def test_filtered_probe_ranks_within_predicate(spark, tmp_warehouse):
+    """Filtered vector search: `where` is applied inside the scan, so
+    the top-k ranks among MATCHING vectors (never a post-filtered
+    k-truncation), manifest bounds skip non-matching files on top of
+    cell pruning, and the full-probe filtered result equals brute
+    force over the pre-filtered corpus."""
+    from iceberg_compaction_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 5)
+    idx = create_ivf_index(os.path.join(tmp_warehouse, "ann_f"))
+    ivf_index_build(spark, idx, emb, n_centroids=8)
+
+    got = ivf_index_probe(
+        spark, idx, queries, k=3, nprobe=8, where="vec_id % 2 = 0"
+    )
+    exact = brute_force_topk(emb.filter("vec_id % 2 = 0"), queries, k=3)
+    assert _topk_rows(got) == _topk_rows(exact)
+    assert all(r["neighbor_id"] % 2 == 0 for r in got.collect())
+
+    # composition: a bounds-prunable predicate stacks file skips on top
+    # of the cell restriction (the scan accumulates both counts)
+    narrow = emb.filter(F.col("vec_id") % 250 == 0)
+    part = ivf_index_probe(spark, idx, narrow, k=3, nprobe=3)
+    cells_only = idx.last_scan_pruned_files
+    ivf_index_probe(spark, idx, narrow, k=3, nprobe=3, where="vec_id < 0")
+    assert idx.last_scan_pruned_files > cells_only
+    assert part.count() > 0
