@@ -177,6 +177,7 @@ def ivf_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     where: str | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): exact cosine over the
     probed cells only. The index scan is restricted to the UNION of
@@ -185,12 +186,22 @@ def ivf_index_probe(
     MinHash probe's discipline. Self-matches are excluded.
     ``index.last_scan_pruned_files`` reports the files skipped.
 
+    Round 9 (guide §4.2): when the query set fits ``max_query_rows``
+    it rides in task closures and each pruned-scan batch is scored
+    with one BLAS matmul per probed cell (mapInPandas) — no
+    |queries|×cell-population candidate join ever materializes and no
+    interpreted higher-order aggregate runs per pair. Larger query
+    sets keep the distributed equi-join plan. Both paths produce
+    identical rows (exact cosine, same tie order).
+
     ``where``: FILTERED vector search — a SQL predicate over index
     columns applied INSIDE the scan, so it composes with cell pruning
     (manifest bounds skip non-matching files, the residual filters
     rows before any distance is computed) and ranks the top-k among
     matching vectors only — never post-filtering a k-truncated list,
     which silently under-returns."""
+    from iceberg_compaction_spark.operators.similarity import _score_block
+
     cents = _centroids(index)
     if not 1 <= nprobe <= len(cents):
         raise ValidationError(f"nprobe must be in [1, {len(cents)}], got {nprobe}")
@@ -198,36 +209,92 @@ def ivf_index_probe(
         F.col(id_col).cast("long").alias("query_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
     ).withColumn("_cells", _nearest_centroids_udf(cents, nprobe)(F.col("_qv")))
-    # dedupe on the SMALL side: a duplicated query row would otherwise
-    # duplicate every candidate pair; (query, cell) is |queries|×nprobe
-    # while candidates are |queries|×cell-population
-    q_probed = q.select(
-        "query_id", "_qv", F.explode("_cells").alias("cell")
-    ).dropDuplicates(["query_id", "cell"])
-    # the distinct probed-cell set: ≤ n_centroids values by
-    # construction, so the collect is O(spec) like the dedup probe's
-    cells = {
-        str(r["cell"]) for r in q_probed.select("cell").distinct().collect()
-    }
-    index.last_probe_partition_values = cells
-    if index.files(content="data"):
-        idx = index.scan(spark, partition_values=cells, filter=where)
+
+    q_rows = q.limit(max_query_rows + 1).collect()
+    if len(q_rows) <= max_query_rows:
+        # ---- vectorized path: queries in the closure, BLAS per batch.
+        # Dedupe per query_id (first wins) — matches the join path's
+        # (query_id, cell) dedupe for the sane unique-query-id case.
+        by_qid: dict[int, tuple] = {}
+        for r in q_rows:
+            by_qid.setdefault(r["query_id"], (r["_qv"], r["_cells"]))
+        cell_groups: dict[int, list[tuple[int, list]]] = {}
+        for qid, (qv, qcells) in by_qid.items():
+            for c in set(qcells):
+                cell_groups.setdefault(int(c), []).append((qid, qv))
+        cells = {str(c) for c in cell_groups}
+        index.last_probe_partition_values = cells
+        if index.files(content="data") and cells:
+            idx = index.scan(spark, partition_values=cells, filter=where)
+        else:
+            idx = spark.createDataFrame([], schema=index.schema())
+            if where is not None:
+                idx = idx.filter(F.expr(where))
+        per_cell = {
+            c: (
+                np.array([qid for qid, _ in grp]),
+                np.stack([np.asarray(qv, dtype=np.float64) for _, qv in grp]),
+            )
+            for c, grp in cell_groups.items()
+        }
+        for c, (ids_, mat_) in per_cell.items():
+            nrm = np.linalg.norm(mat_, axis=1)
+            nrm[nrm == 0] = 1.0
+            per_cell[c] = (ids_, mat_, nrm)
+        out_schema = "query_id long, neighbor_id long, cosine double"
+
+        def score(batches):
+            for pdf in batches:
+                for cell, grp in pdf.groupby("cell", sort=False):
+                    qd = per_cell.get(int(cell))
+                    if qd is None:
+                        continue
+                    q_ids, q_mat, q_norm = qd
+                    yield from _score_block(
+                        grp["vec_id"].to_numpy(),
+                        grp["embedding"],
+                        q_ids,
+                        q_mat,
+                        q_norm,
+                        k,
+                    )
+
+        scored = idx.select("vec_id", "embedding", "cell").mapInPandas(
+            score, out_schema
+        )
     else:
-        idx = spark.createDataFrame([], schema=index.schema())
-        if where is not None:
-            idx = idx.filter(F.expr(where))
-    # no candidate-side dedup needed: every vector lives in exactly ONE
-    # cell and (query_id, cell) is unique above, so (query_id, vec_id)
-    # pairs are unique by construction — a distinct here would add a
-    # full exchange on the largest relation in the plan
-    cand = q_probed.join(idx.select("vec_id", "embedding", "cell"), "cell").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _cosine_cols("_qv", "embedding").alias("cosine"),
-    )
+        # ---- distributed path: dedupe on the SMALL side — a
+        # duplicated query row would otherwise duplicate every
+        # candidate pair; (query, cell) is |queries|×nprobe while
+        # candidates are |queries|×cell-population
+        q_probed = q.select(
+            "query_id", "_qv", F.explode("_cells").alias("cell")
+        ).dropDuplicates(["query_id", "cell"])
+        # the distinct probed-cell set: ≤ n_centroids values by
+        # construction, so the collect is O(spec) like the dedup probe's
+        cells = {
+            str(r["cell"]) for r in q_probed.select("cell").distinct().collect()
+        }
+        index.last_probe_partition_values = cells
+        if index.files(content="data"):
+            idx = index.scan(spark, partition_values=cells, filter=where)
+        else:
+            idx = spark.createDataFrame([], schema=index.schema())
+            if where is not None:
+                idx = idx.filter(F.expr(where))
+        # no candidate-side dedup needed: every vector lives in exactly
+        # ONE cell and (query_id, cell) is unique above, so
+        # (query_id, vec_id) pairs are unique by construction — a
+        # distinct here would add a full exchange on the largest
+        # relation in the plan
+        cand = q_probed.join(idx.select("vec_id", "embedding", "cell"), "cell").filter(
+            F.col("query_id") != F.col("vec_id")
+        )
+        scored = cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine_cols("_qv", "embedding").alias("cosine"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -101,6 +101,36 @@ def add_lsh_signature(
     return df.withColumn(out_col, _sig(F.col(vec_col)))
 
 
+def _score_block(ids, vecs, q_ids, q_mat, q_norm, k):
+    """One BLAS-scored batch of the vectorized exact top-k: cosine of
+    every (batch row × query), self-matches excluded, and the LOCAL
+    top-k per query selected with the GLOBAL tie order (cosine desc,
+    id asc) so a boundary tie can never evict the id the final window
+    would have kept — batch rows are pre-sorted by id and the
+    per-query selection is a stable sort on descending similarity.
+    Yields zero or one pandas DataFrames."""
+    if len(ids) == 0:
+        return
+    mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+    order = np.argsort(ids)  # ids unique per batch; ascending for tie order
+    ids, mat = ids[order], mat[order]
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0] = 1.0
+    sims = (mat @ q_mat.T) / np.outer(nrm, q_norm)  # (batch, q)
+    sims[ids[:, None] == q_ids[None, :]] = -np.inf  # no self-match
+    top = min(k, sims.shape[0])
+    idx = np.argsort(-sims, axis=0, kind="stable")[:top]  # per query
+    rows = {
+        "query_id": np.repeat(q_ids[None, :], top, 0).ravel(),
+        "neighbor_id": ids[idx].ravel(),
+        "cosine": np.take_along_axis(sims, idx, axis=0).ravel(),
+    }
+    out = pd.DataFrame(rows)
+    out = out[np.isfinite(out["cosine"])]
+    if len(out):
+        yield out
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,21 +168,15 @@ def brute_force_topk_vectorized(
 
     def score(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
-            nrm = np.linalg.norm(mat, axis=1)
-            nrm[nrm == 0] = 1.0
-            sims = (mat @ q_mat.T) / np.outer(nrm, q_norm)  # (batch, q)
-            sims[ids[:, None] == q_ids[None, :]] = -np.inf  # no self-match
-            top = min(k, sims.shape[0])
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # per query
-            rows = {
-                "query_id": np.repeat(q_ids[None, :], top, 0).ravel(),
-                "neighbor_id": ids[idx].ravel(),
-                "cosine": np.take_along_axis(sims, idx, axis=0).ravel(),
-            }
-            out = pd.DataFrame(rows)
-            yield out[np.isfinite(out["cosine"])]
+            for out in _score_block(
+                pdf[id_col].to_numpy(),
+                pdf[vec_col],
+                q_ids,
+                q_mat,
+                q_norm,
+                k,
+            ):
+                yield out
 
     local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
