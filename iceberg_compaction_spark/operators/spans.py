@@ -53,6 +53,15 @@ def positional_grams(
     contribute no grams (a shorter slice would alias across lengths).
     Unlike ``dedup.shingles`` the array is NOT distinct'd: positions
     matter here."""
+    # round 9 (guide §2.5 input skew): corpus tables often arrive as a
+    # handful of parquet splits — far fewer than the cores available —
+    # and the tokenize + gram expressions then run single-threaded.
+    # Spread the *small* pre-explosion rows across the default
+    # parallelism first; at real scale the scan already has more
+    # splits than cores and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     toks = _tokens(text_col)
     grams = F.when(
         F.size("_toks") >= n,
@@ -87,13 +96,30 @@ def duplicate_spans(
     running max covered end leaves a gap. Output spans are exactly the
     maximal contiguous runs of covered tokens."""
     grams = positional_grams(df, id_col, text_col, n, gram_hash=gram_hash)
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("gram")
-    )
-    hits = grams.join(dup, "gram").select(id_col, "pos")
+    if min_docs == 2:
+        # round 9 (guide §2.4): "appears in ≥2 distinct documents" is
+        # exactly min(id) != max(id), so ONE shuffle of the gram
+        # relation (a whole-partition window) replaces the
+        # count-distinct aggregation + join-back — which shuffled the
+        # same gram keys twice and recomputed the tokenize + gram
+        # expressions for each side. A hot gram lands in one window
+        # partition, but the old plan's distinct aggregation sent the
+        # identical (gram, id) pairs to one reducer too — no new skew.
+        wg = Window.partitionBy("gram")
+        hits = (
+            grams.withColumn("_mn", F.min(id_col).over(wg))
+            .withColumn("_mx", F.max(id_col).over(wg))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select(id_col, "pos")
+        )
+    else:
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("gram")
+        )
+        hits = grams.join(dup, "gram").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + n - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
