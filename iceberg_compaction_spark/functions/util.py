@@ -53,3 +53,18 @@ class EwmaRowSize:
             self.alpha * obs + (1 - self.alpha) * self.value
         )
         return self.value
+
+
+def spread_small_input(df):
+    """Scale-adaptive parallelism floor for compute-heavy map stages
+    (round 9, guide §2.5 input skew): a small table often arrives as
+    fewer parquet splits than the session has cores, and everything
+    map-side downstream (tokenization, shingling, hashing, vector
+    math) then runs on one or two tasks. Round-robin the rows across
+    ``defaultParallelism`` when the plan has fewer partitions; at real
+    scale the scan already has more splits than cores and this returns
+    the input unchanged."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

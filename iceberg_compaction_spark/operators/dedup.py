@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iceberg_compaction_spark.functions.util import spread_small_input
+
 
 # ----------------------------------------------------------------------
 # exact
@@ -111,6 +113,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     lambda is re-evaluated per element, so tokenizing inline turns
     O(tokens) into O(tokens²) re-tokenizations per document — measured
     17× slower on real documents. Same output, one tokenize per row."""
+    # round 9 (guide §2.5): spread the small pre-explosion rows so the
+    # tokenize + shingle + hash expressions parallelize; no-op when the
+    # scan already has enough splits.
+    df = spread_small_input(df)
     toks = F.split(F.trim(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9\s]", " "))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),

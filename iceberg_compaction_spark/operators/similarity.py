@@ -211,13 +211,42 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     n_centroids: int = 16,
     iters: int = 3,
+    max_driver_rows: int = 200_000,
 ) -> np.ndarray:
     """Deterministic coarse quantizer: initial centroids are the
     vectors with the smallest xxhash64(id) (seedless deterministic
     sample), refined by ``iters`` Lloyd rounds. Every step is
     DataFrame-distributed; only centroid-sized results (n_centroids ×
     dim) ever reach the driver, so training cost is O(iters) corpus
-    scans regardless of table size."""
+    scans regardless of table size.
+
+    Round 9 (guide §1.2): a corpus within ``max_driver_rows`` trains
+    entirely on the driver — one collect, then pure-numpy Lloyd with
+    the identical assignment math — instead of paying O(iters) Spark
+    jobs of fixed overhead for kilobytes of useful work. Larger
+    corpora keep the distributed loop (same greedy, same init)."""
+    small = corpus.select(
+        F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col).alias("_v")
+    ).limit(max_driver_rows + 1).collect()
+    if len(small) <= max_driver_rows:
+        mat = np.array([r["_v"] for r in small], dtype=np.float64)
+        hs = np.array([r["_h"] for r in small])
+        cents = mat[np.argsort(hs, kind="stable")[:n_centroids]].copy()
+        for _ in range(iters):
+            c_norm = np.linalg.norm(cents, axis=1)
+            c_norm[c_norm == 0] = 1.0
+            vnorm = np.linalg.norm(mat, axis=1)
+            vnorm[vnorm == 0] = 1.0
+            sims = (mat @ cents.T) / np.outer(vnorm, c_norm)
+            cid = np.argsort(-sims, axis=1)[:, 0]
+            new = cents.copy()  # empty clusters keep their previous centroid
+            cnt = np.bincount(cid, minlength=len(cents))
+            sums = np.zeros_like(cents)
+            np.add.at(sums, cid, mat)
+            nz = cnt > 0
+            new[nz] = sums[nz] / cnt[nz, None]
+            cents = new
+        return cents
     init = (
         corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
@@ -225,19 +254,58 @@ def train_ivf_centroids(
         .collect()
     )
     cents = np.array([r["v"] for r in init], dtype=np.float64)
+    # round 9 (guide §4.2/§2.3): each Lloyd round is ONE vectorized
+    # pass — per Arrow batch, assign via a BLAS similarity matmul and
+    # accumulate per-cell (sum vector, count) partials; only
+    # partitions × n_centroids tiny rows leave the executors (the
+    # posexplode form shuffled rows × dim exploded elements and ran
+    # the assignment UDF as a separate stage). The corpus rows are
+    # spread across the default parallelism first (small parquet
+    # inputs otherwise run the whole pass in one task).
+    from iceberg_compaction_spark.functions.util import spread_small_input
+
+    vecs = spread_small_input(corpus.select(vec_col))
+    out_schema = "cell int, s array<double>, n long"
     for _ in range(iters):
-        assign = corpus.withColumn("_cid", _nearest_centroids_udf(cents, 1)(F.col(vec_col))[0])
-        # element-wise mean per centroid: posexplode → (cid, pos) avg;
-        # result is centroid-sized, safe to collect
-        means = (
-            assign.select("_cid", F.posexplode(vec_col).alias("_pos", "_x"))
-            .groupBy("_cid", "_pos")
-            .agg(F.avg("_x").alias("m"))
-            .collect()
-        )
+        c_norm = np.linalg.norm(cents, axis=1)
+        c_norm[c_norm == 0] = 1.0
+        frozen = cents
+
+        def partials(batches, _c=frozen, _cn=c_norm):
+            k, dim = _c.shape
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(
+                    pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64))
+                )
+                vnorm = np.linalg.norm(mat, axis=1)
+                vnorm[vnorm == 0] = 1.0
+                sims = (mat @ _c.T) / np.outer(vnorm, _cn)
+                # same tie resolution as _nearest_centroids_udf
+                cid = np.argsort(-sims, axis=1)[:, 0]
+                np.add.at(sums, cid, mat)
+                counts += np.bincount(cid, minlength=k)
+            out = pd.DataFrame(
+                {
+                    "cell": np.arange(k, dtype=np.int32),
+                    "s": list(sums),
+                    "n": counts,
+                }
+            )
+            yield out[out["n"] > 0]
+
+        rows = vecs.mapInPandas(partials, out_schema).collect()
         new = cents.copy()  # empty clusters keep their previous centroid
-        for r in means:
-            new[r["_cid"], r["_pos"]] = r["m"]
+        acc = np.zeros_like(cents)
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            acc[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            cnt[r["cell"]] += r["n"]
+        nz = cnt > 0
+        new[nz] = acc[nz] / cnt[nz, None]
         cents = new
     return cents
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iceberg_compaction_spark.functions.util import spread_small_input
+
 
 def _tokens(text_col) -> "F.Column":
     """Shared normalization: lower → strip non-alnum → split on
@@ -53,15 +55,10 @@ def positional_grams(
     contribute no grams (a shorter slice would alias across lengths).
     Unlike ``dedup.shingles`` the array is NOT distinct'd: positions
     matter here."""
-    # round 9 (guide §2.5 input skew): corpus tables often arrive as a
-    # handful of parquet splits — far fewer than the cores available —
-    # and the tokenize + gram expressions then run single-threaded.
-    # Spread the *small* pre-explosion rows across the default
-    # parallelism first; at real scale the scan already has more
-    # splits than cores and this is a no-op.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # round 9 (guide §2.5 input skew): spread the small pre-explosion
+    # rows so the tokenize + gram expressions parallelize; no-op when
+    # the scan already has enough splits.
+    df = spread_small_input(df)
     toks = _tokens(text_col)
     grams = F.when(
         F.size("_toks") >= n,

@@ -46,7 +46,12 @@ import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_compaction_spark.config import CommitMode, CompactionConfig, GroupingStrategy
+from iceberg_compaction_spark.config import (
+    CommitMode,
+    CompactionConfig,
+    GroupingStrategy,
+    SelectionStrategy,
+)
 from iceberg_compaction_spark.errors import ValidationError
 from iceberg_compaction_spark.metrics import GLOBAL
 from iceberg_compaction_spark.functions.clustering import CLUSTER_COL, add_cluster_key
@@ -177,26 +182,95 @@ class CompactionRunner:
         (S1 + P2/P3 + C1 + C3). Collects only the *plan* (one row per
         selected file), never data."""
         cfg = self.config
-        files_df = self.table.files_df(self.spark, snapshot_id)
-        selected = select_files(
-            self.spark,
-            files_df,
-            cfg,
-            col_types=self.table.column_type_categories() if cfg.row_filter else None,
+        # round 9 (guide §5/§7.3): planning over a MODEST manifest is
+        # driver-side python — the manifest rows are already resolved
+        # on the driver, and a Spark job (shuffle + applyInPandas) for
+        # a few hundred rows costs seconds of pure overhead per
+        # compaction. The DataFrame path remains the production shape
+        # for manifests past the threshold (10^5+ files plan
+        # partition-parallel with no driver bottleneck). Both paths run
+        # the identical selection predicate and the same ffd_pack
+        # greedy with the same (size desc, path asc) order, so the bin
+        # schedule is byte-identical.
+        man_data = [
+            r
+            for r in self.table.manifest(snapshot_id)
+            if r["content"] == mf.CONTENT_DATA
+        ]
+        fast = (
+            not cfg.row_filter
+            and cfg.selection
+            in (SelectionStrategy.FULL, SelectionStrategy.SMALL_FILES)
+            and len(man_data) <= 65_536
         )
-        if cfg.grouping == GroupingStrategy.SINGLE:
-            assigned = selected.select(
-                "path",
-                "partition",
-                "size_bytes",
-                "record_count",
-                "sequence_number",
-                F.concat(F.col("partition"), F.lit("#0")).alias("bin"),
-                F.lit(0).alias("bin_index"),
-            )
+        if fast:
+            sel = man_data
+            if cfg.partition_filter:
+                allowed = set(cfg.partition_filter)
+                sel = [r for r in sel if r["partition"] in allowed]
+            if cfg.selection == SelectionStrategy.SMALL_FILES:
+                sel = [
+                    r
+                    for r in sel
+                    if r["size_bytes"] <= cfg.small_file_threshold_bytes
+                ]
+            rows = []
+            if cfg.grouping == GroupingStrategy.SINGLE:
+                for r in sel:
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "partition": r["partition"],
+                            "size_bytes": r["size_bytes"],
+                            "record_count": r["record_count"],
+                            "bin": f"{r['partition']}#0",
+                        }
+                    )
+            else:
+                from iceberg_compaction_spark.plans.packer import ffd_pack
+
+                by_part: dict[str, list[dict]] = {}
+                for r in sel:
+                    by_part.setdefault(r["partition"], []).append(r)
+                for part, members in by_part.items():
+                    members.sort(key=lambda r: (-r["size_bytes"], r["path"]))
+                    packed = ffd_pack(
+                        [r["size_bytes"] for r in members],
+                        cfg.group_target_size_bytes,
+                    )
+                    for k, idxs in enumerate(packed):
+                        for i in idxs:
+                            r = members[i]
+                            rows.append(
+                                {
+                                    "path": r["path"],
+                                    "partition": part,
+                                    "size_bytes": r["size_bytes"],
+                                    "record_count": r["record_count"],
+                                    "bin": f"{part}#{k}",
+                                }
+                            )
         else:
-            assigned = plan_bins_df(selected, cfg.group_target_size_bytes)
-        rows = assigned.collect()
+            files_df = self.table.files_df(self.spark, snapshot_id)
+            selected = select_files(
+                self.spark,
+                files_df,
+                cfg,
+                col_types=self.table.column_type_categories() if cfg.row_filter else None,
+            )
+            if cfg.grouping == GroupingStrategy.SINGLE:
+                assigned = selected.select(
+                    "path",
+                    "partition",
+                    "size_bytes",
+                    "record_count",
+                    "sequence_number",
+                    F.concat(F.col("partition"), F.lit("#0")).alias("bin"),
+                    F.lit(0).alias("bin_index"),
+                )
+            else:
+                assigned = plan_bins_df(selected, cfg.group_target_size_bytes)
+            rows = assigned.collect()
         bins: dict[str, BinPlan] = {}
         for r in rows:
             b = bins.setdefault(
@@ -511,11 +585,17 @@ class CompactionRunner:
         self,
         run_id: str | None = None,
         snapshot_id: int | None = None,
-        parallel_bins: int = 1,
+        parallel_bins: int | None = None,
     ) -> CompactionResult:
         """Run a full compaction. Re-invoke with the same ``run_id`` to
         resume an interrupted run (finished bins are skipped; outputs
-        reused; single commit at the end)."""
+        reused; single commit at the end).
+
+        ``parallel_bins``: concurrent bin rewrites as overlapped Spark
+        jobs on driver threads (guide §2.6 — a bin's output tail leaves
+        most executors idle; the next bin's tasks back-fill them).
+        ``None`` (round 9 default) adapts to min(8, pending bins);
+        pass 1 to force strictly sequential bins."""
         cfg = self.config
         t0 = time.time()
         run_id = run_id or uuid.uuid4().hex[:12]
@@ -572,6 +652,8 @@ class CompactionRunner:
         prev_split = self.spark.conf.get(conf_key, None)
         if split is not None:
             self.spark.conf.set(conf_key, str(split))
+        if parallel_bins is None:
+            parallel_bins = min(8, max(1, len(pending)))
         try:
             if parallel_bins > 1 and len(pending) > 1:
                 # concurrent Spark jobs on one session — the scheduler

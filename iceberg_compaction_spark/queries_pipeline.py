@@ -2830,8 +2830,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("event_id").alias("view_event_id"))
     )
     out = asof_join(clicks, views, by="user_id")
-    n_match = out.filter(F.col("ts_r").isNotNull()).count()
-    n_miss = out.filter(F.col("ts_r").isNull()).count()
+    # materialize ONCE (round 9, the strict query's pattern): the
+    # gates and the returned relation read parquet instead of
+    # re-running the union-tag window per count
+    tdir = tempfile.mkdtemp(prefix="icemaint_asof_")
+    out.write.parquet(os.path.join(tdir, "out"))
+    out = spark.read.parquet(os.path.join(tdir, "out"))
+    gate = out.agg(
+        F.count(F.col("ts_r")).alias("n_match"),
+        F.sum(F.col("ts_r").isNull().cast("int")).alias("n_miss"),
+    ).first()
+    n_match, n_miss = gate["n_match"], gate["n_miss"] or 0
     if not (n_match > 0 and n_miss > 0):
         raise AssertionError(f"degenerate as-of fixture: {n_match} matched, {n_miss} missed")
     return out.select(
@@ -2877,7 +2886,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("err_id"),
     )
     out = range_join(clicks, errors, by="user_id", bin_width=21600.0)
-    if out.rdd.isEmpty():
+    # materialize ONCE (round 9): the emptiness gate previously went
+    # through out.rdd (a full internal-row -> Python conversion of the
+    # plan, guide §1.4) and the returned relation re-ran the join
+    tdir = tempfile.mkdtemp(prefix="icemaint_range_")
+    out.write.parquet(os.path.join(tdir, "out"))
+    out = spark.read.parquet(os.path.join(tdir, "out"))
+    if out.isEmpty():
         raise AssertionError("degenerate range-join fixture: no pairs")
     return out.select(
         "event_id",
@@ -3132,6 +3147,12 @@ def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join_salted(
         clicks, buys, by="user_id", bucket_width=21600.0, direction="forward"
     )
+    # materialize ONCE (round 9, the strict query's pattern): the
+    # carry gate, the row-count gate and the returned relation read
+    # parquet instead of re-running the three-stage salted pipeline
+    tdir = tempfile.mkdtemp(prefix="icemaint_asofsalt_")
+    out.write.parquet(os.path.join(tdir, "out"))
+    out = spark.read.parquet(os.path.join(tdir, "out"))
     n_buckets = clicks.select(
         F.floor(F.col("ts").cast("timestamp").cast("double") / 21600.0)
     ).distinct().count()
@@ -3244,8 +3265,16 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("event_id").alias("view_event_id"))
     )
     out = asof_join(clicks, views, by="user_id", direction="nearest")
-    n_back = out.filter(F.col("ts_r") <= F.col("ts")).count()
-    n_fwd = out.filter(F.col("ts_r") > F.col("ts")).count()
+    # materialize ONCE (round 9, the strict query's pattern): both
+    # direction gates and the returned relation read parquet
+    tdir = tempfile.mkdtemp(prefix="icemaint_asofn_")
+    out.write.parquet(os.path.join(tdir, "out"))
+    out = spark.read.parquet(os.path.join(tdir, "out"))
+    gate = out.agg(
+        F.sum((F.col("ts_r") <= F.col("ts")).cast("int")).alias("n_back"),
+        F.sum((F.col("ts_r") > F.col("ts")).cast("int")).alias("n_fwd"),
+    ).first()
+    n_back, n_fwd = gate["n_back"] or 0, gate["n_fwd"] or 0
     if not (n_back > 0 and n_fwd > 0):
         raise AssertionError(
             f"degenerate nearest fixture: {n_back} backward, {n_fwd} forward wins"
@@ -3745,9 +3774,23 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, ["user_id"], "bucket", ["cnt"],
         start=_GAPFILL_START, end=_GAPFILL_END, step=_GAPFILL_STEP,
     )
-    n_gap = out.filter("gap_filled").count()
-    n_carried = out.filter("gap_filled AND cnt_filled IS NOT NULL").count()
-    n_bad = out.filter("NOT gap_filled AND cnt IS NULL").count()
+    # materialize ONCE (round 9, the salted twin's pattern): the three
+    # gates and the returned relation read parquet, not four re-runs
+    tdir = tempfile.mkdtemp(prefix="icemaint_gf_")
+    out.write.parquet(os.path.join(tdir, "out"))
+    out = spark.read.parquet(os.path.join(tdir, "out"))
+    gate = out.agg(
+        F.sum(F.col("gap_filled").cast("int")).alias("n_gap"),
+        F.sum(
+            (F.col("gap_filled") & F.col("cnt_filled").isNotNull()).cast("int")
+        ).alias("n_carried"),
+        F.sum(
+            (~F.col("gap_filled") & F.col("cnt").isNull()).cast("int")
+        ).alias("n_bad"),
+    ).first()
+    n_gap = gate["n_gap"] or 0
+    n_carried = gate["n_carried"] or 0
+    n_bad = gate["n_bad"] or 0
     if not (n_gap > 0 and n_carried > 0 and n_bad == 0):
         raise AssertionError(
             f"degenerate gapfill fixture: gaps={n_gap} carried={n_carried} bad={n_bad}"
