@@ -259,9 +259,11 @@ def ivf_index_probe(
                         k,
                     )
 
-        scored = idx.select("vec_id", "embedding", "cell").mapInPandas(
-            score, out_schema
-        )
+        from iceberg_compaction_spark.functions.util import spread_small_input
+
+        scored = spread_small_input(
+            idx.select("vec_id", "embedding", "cell")
+        ).mapInPandas(score, out_schema)
     else:
         # ---- distributed path: dedupe on the SMALL side — a
         # duplicated query row would otherwise duplicate every

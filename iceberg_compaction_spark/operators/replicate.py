@@ -276,6 +276,12 @@ def apply_changelog(
         # net per key: the LAST change wins; within one snapshot an
         # upsert pair (delete old + insert new) collapses to the insert
         is_ins = (F.col(CHANGE_TYPE_COL) == "insert").cast("int")
+        # (round 9 note: an append-only window could skip this net
+        # window outright — every change is a unique-key insert — but
+        # measured at sf1.0 the window's exchange is what spreads the
+        # downstream target write across the session's cores; skipping
+        # it left the write at the source scan's split count and was
+        # net SLOWER. Kept as the exact general fold.)
         w = Window.partitionBy(*keys).orderBy(
             F.desc(CHANGE_SNAPSHOT_COL), F.desc(is_ins)
         )

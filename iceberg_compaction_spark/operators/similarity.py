@@ -178,7 +178,14 @@ def brute_force_topk_vectorized(
             ):
                 yield out
 
-    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    from iceberg_compaction_spark.functions.util import spread_small_input
+
+    # guide §2.5: a small corpus scan arrives in fewer splits than
+    # cores; spread so the per-batch matmuls parallelize (no-op at
+    # scale, and the global window makes any partitioning exact)
+    local = spread_small_input(corpus.select(id_col, vec_col)).mapInPandas(
+        score, out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

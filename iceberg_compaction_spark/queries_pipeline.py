@@ -812,7 +812,9 @@ def q_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tdir, "transcripts")
     try:
         table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        table.append_dataframe(
+            build_transcripts_from_events(spark, sf_dir), distribute=True
+        )
         res = delete_where(
             spark, table, "ts < TIMESTAMP '2024-01-10 06:30:00'"
         )
@@ -1261,7 +1263,7 @@ def q_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         with benchphase.phase("build"):  # fixture, not the measured op
             table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
             base = build_transcripts_from_events(spark, sf_dir)
-            table.append_dataframe(base)
+            table.append_dataframe(base, distribute=True)
         n_total = len(table.files(content="data"))
         out = table.scan(
             spark,
@@ -1314,7 +1316,9 @@ def q_pruned_or_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tdir, "transcripts")
     try:
         table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        table.append_dataframe(
+            build_transcripts_from_events(spark, sf_dir), distribute=True
+        )
         n_total = len(table.files(content="data"))
         out = table.scan(spark, filter=_OR_PRED).select(
             "conv_id",
@@ -1563,7 +1567,9 @@ def q_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tdir, "transcripts")
     try:
         table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        table.append_dataframe(
+            build_transcripts_from_events(spark, sf_dir), distribute=True
+        )
         res = fast_count(
             spark, table,
             f"ts >= TIMESTAMP '{_RANGE_LO}' AND ts < TIMESTAMP '{_RANGE_HI}'",
@@ -1597,7 +1603,9 @@ def q_metadata_count_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     loc = os.path.join(tdir, "transcripts")
     try:
         table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        table.append_dataframe(
+            build_transcripts_from_events(spark, sf_dir), distribute=True
+        )
         # delete every turn_idx % 5 == 2 row as POSITION deletes (the
         # logical delete set is engine-independent: turn_idx is
         # deterministic)
@@ -1642,7 +1650,9 @@ def q_update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tdir, "transcripts")
     try:
         table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        table.append_dataframe(
+            build_transcripts_from_events(spark, sf_dir), distribute=True
+        )
         n_before = table.scan(spark).count()
         res = update_where(
             spark, table,
@@ -1688,7 +1698,9 @@ def q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tdir, "transcripts")
     try:
         table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        table.append_dataframe(
+            build_transcripts_from_events(spark, sf_dir), distribute=True
+        )
         r_ts = fast_min_max(spark, table, "ts")
         r_ti = fast_min_max(spark, table, "turn_idx")
         if r_ts["scanned_files"] != 0 or r_ti["scanned_files"] != 0:
@@ -2156,7 +2168,9 @@ def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tdir, "transcripts")
     try:
         table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        table.append_dataframe(
+            build_transcripts_from_events(spark, sf_dir), distribute=True
+        )
         hits = (
             table.scan(spark, with_hidden=True)
             .filter("turn_idx % 5 = 2")
@@ -2198,7 +2212,9 @@ def q_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tdir, "transcripts")
     try:
         table = Table.create(loc, TRANSCRIPT_DDL, partition=day_partition_spec())
-        table.append_dataframe(build_transcripts_from_events(spark, sf_dir))
+        table.append_dataframe(
+            build_transcripts_from_events(spark, sf_dir), distribute=True
+        )
         analyze_table(
             spark, table, ["conv_id", "turn_idx", "role", "tool"], exact=True
         )
@@ -2770,7 +2786,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id BIGINT, band INT, signature STRING",
                 partition=bucket_partition_spec("signature", 16),
             )
-            idx_table.append_dataframe(minhash_index(old, bands=4))
+            idx_table.append_dataframe(minhash_index(old, bands=4), distribute=True)
         survivors, new_index = incremental_minhash_dedup_indexed(
             spark, new, idx_table, bands=4
         )

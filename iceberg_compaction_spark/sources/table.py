@@ -1281,14 +1281,24 @@ class Table:
         df: DataFrame,
         max_records_per_file: int | None = None,
         subdir: str | None = None,
+        distribute: bool = False,
     ) -> list[mf.FileInfo]:
         """Write payload rows as new (uncommitted) data files and return
         their manifest entries. The rolling-file behavior of the
         reference's RollingWriter (writer.rs:100-338) maps to Spark's
-        ``maxRecordsPerFile`` + the DataFrame's partition count."""
+        ``maxRecordsPerFile`` + the DataFrame's partition count.
+
+        ``distribute`` (round 9, guide §6 small files): hash-cluster the
+        rows by the table's partition value before a partitionBy write,
+        so a P-partition table gets ~P files instead of (input
+        partitions × P) fragments. Opt-in — compaction outputs arrive
+        range-partitioned+sorted and callers that deliberately build
+        many-small-file fixtures must keep their layout."""
         field, expr = self._partition_expr()
         if field and field not in df.columns:
             df = df.withColumn(field, F.expr(expr))
+        if distribute and field:
+            df = df.repartition(F.col(field))
         out_dir = os.path.join(self.data_dir, subdir or uuid.uuid4().hex[:12])
         if field:
             # partition purity: every data file holds exactly one
@@ -1313,8 +1323,9 @@ class Table:
         df: DataFrame,
         max_records_per_file: int | None = None,
         branch: str | None = None,
+        distribute: bool = False,
     ) -> int:
-        infos = self.write_data_files(df, max_records_per_file)
+        infos = self.write_data_files(df, max_records_per_file, distribute=distribute)
         return self.commit("append", added=infos, branch=branch)
 
     # Rows per delete *file*: deletes are narrow (a path + long, or a
