@@ -3391,6 +3391,13 @@ def q_rollup_refresh_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     selection=SelectionStrategy.FULL,
                     grouping=GroupingStrategy.SINGLE,
                     sort_order=(("event_id", False),),
+                    # round 9: 8 MB targets (the flagship's own sizing)
+                    # give the rewrite output_parallelism > 1; the 1 GB
+                    # default sorted + wrote the whole source in ONE
+                    # task. Scenario and downstream rows unchanged (a
+                    # replace commit is invisible to the changelog).
+                    target_file_size_bytes=8 << 20,
+                    min_size_per_partition_bytes=16 << 20,
                 ),
             ).execute()
             src.append_dataframe(ev.filter("event_id % 2 = 1").select(cols))
@@ -3484,6 +3491,13 @@ def q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     selection=SelectionStrategy.FULL,
                     grouping=GroupingStrategy.SINGLE,
                     sort_order=(("event_id", False),),
+                    # round 9: 8 MB targets (the flagship's own sizing)
+                    # give the rewrite output_parallelism > 1; the 1 GB
+                    # default sorted + wrote the whole source in ONE
+                    # task. Scenario and downstream rows unchanged (a
+                    # replace commit is invisible to the changelog).
+                    target_file_size_bytes=8 << 20,
+                    min_size_per_partition_bytes=16 << 20,
                 ),
             ).execute()
         r2 = apply_changelog(spark, src, tgt, ["event_id"])
