@@ -327,6 +327,7 @@ def ivf_topk(
     nprobe: int = 4,
     iters: int = 3,
     centroids: np.ndarray | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the other
     classic ANN scale path next to sign-LSH: corpus vectors list under
@@ -334,13 +335,64 @@ def ivf_topk(
     cells; exact cosine re-ranks the probed lists only. The cell join
     is an equi-join on the centroid id, so the plan is
     broadcast/shuffle-hash, never all-pairs; recall grows with
-    nprobe/n_centroids ratio."""
+    nprobe/n_centroids ratio.
+
+    Round 9 (guide §4.2): when the query side fits ``max_query_rows``
+    the probed lists are scored like the persisted-index probe — per
+    assigned-corpus batch, one BLAS matmul per probed cell against the
+    closure-resident query group, no candidate join, no interpreted
+    per-pair aggregate. Larger query sets keep the distributed
+    equi-join plan; both paths produce identical rows."""
     cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, vec_col, id_col, n_centroids, iters
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c_assigned = c.withColumn("_cid", _nearest_centroids_udf(cents, 1)(F.col("_cv"))[0])
+
+    q_rows = q.withColumn(
+        "_cells", _nearest_centroids_udf(cents, nprobe)(F.col("_qv"))
+    ).limit(max_query_rows + 1).collect()
+    if len(q_rows) <= max_query_rows:
+        by_qid: dict = {}
+        for r in q_rows:
+            by_qid.setdefault(r["query_id"], (r["_qv"], r["_cells"]))
+        cell_groups: dict[int, list] = {}
+        for qid, (qv, qcells) in by_qid.items():
+            for cell in set(qcells):
+                cell_groups.setdefault(int(cell), []).append((qid, qv))
+        per_cell = {}
+        for cell, grp in cell_groups.items():
+            q_ids = np.array([qid for qid, _ in grp])
+            q_mat = np.stack([np.asarray(qv, dtype=np.float64) for _, qv in grp])
+            q_norm = np.linalg.norm(q_mat, axis=1)
+            q_norm[q_norm == 0] = 1.0
+            per_cell[cell] = (q_ids, q_mat, q_norm)
+        out_schema = "query_id long, neighbor_id long, cosine double"
+
+        def score(batches):
+            for pdf in batches:
+                for cell, grp in pdf.groupby("_cid", sort=False):
+                    qd = per_cell.get(int(cell))
+                    if qd is None:
+                        continue
+                    yield from _score_block(
+                        grp["neighbor_id"].to_numpy(), grp["_cv"], *qd, k
+                    )
+
+        from iceberg_compaction_spark.functions.util import spread_small_input
+
+        scored = spread_small_input(
+            c_assigned.select("neighbor_id", "_cv", "_cid")
+        ).mapInPandas(score, out_schema)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
     q_probed = q.withColumn(
         "_cid", F.explode(_nearest_centroids_udf(cents, nprobe)(F.col("_qv")))
     )
@@ -409,6 +461,13 @@ def lsh_topk(
         .select("query_id", "_qv", "neighbor_id", "_cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # (round 9 note: scoring these deduped PAIR rows with an einsum in
+    # mapInPandas measured SLOWER at every SF (13.3 vs 11.0 s at sf1.0)
+    # — the pairs carry both 64-dim vectors, so the JVM→Arrow→Python
+    # transfer of |pairs|×2×d doubles swamps the arithmetic saving.
+    # The interpreted per-pair aggregate stays; the vectorized wins
+    # come from paths that never materialize pairs at all
+    # (brute_force_topk_vectorized, ivf_topk, ivf_index_probe).)
     scored = cand.select(
         "query_id", "neighbor_id", _cosine_cols("_qv", "_cv").alias("cosine")
     )
